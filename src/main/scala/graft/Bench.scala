@@ -1,24 +1,103 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.engine.Searcher
+import graft.index.IndexBuilder
+import graft.pipeline.{Dedup, Similarity}
+
+/** Per-round benchmark (driver contract): one JSON line with total seconds
+  * and a per-operator breakdown, on SPARK_GRAFT_SF_DIR at
+  * local[SPARK_GRAFT_CPUS].
+  *
+  * Headline numbers (BASELINE.md (b)):
+  *   - index_build: full inverted-index build (docs+postings+dict) over the
+  *     corpus derived from the documents table, fresh directory — reported
+  *     also as files_per_sec;
+  *   - query latencies: the FIXTURES.md §3 reference query set, p50/p99 over
+  *     repeated runs (top-k k=10, block-max WAND path);
+  *   - pipeline ops: minhash bands, simhash, cosine top-k.
+  */
 object Bench {
+
+  def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def freshDir(path: String): String = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    path
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // --- index build throughput (fresh build every bench run)
+    val corpus = SparkEntry.corpusFromDocuments(spark, sfDir)
+    val nFiles = corpus.count()
+    val root = freshDir(s"/tmp/graft-bench-idx")
+    val (_, tBuild) = timed {
+      new IndexBuilder(spark, root, bucketSize = 1024).build(corpus)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    results += "index_build" -> tBuild
+    val searcher = new Searcher(spark, root)
+
+    // --- query latency over the reference query set (WAND path, k=10)
+    val querySet = Seq("merge join", "scan", "filter window", "customer",
+      "the fast", "vector stream", "hash join order", "slow batch")
+    val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // warm-up (JIT + parquet footer cache)
+    searcher.searchLiteral(querySet.head, 10).collect()
+    querySet.foreach { q =>
+      (0 until 3).foreach { _ =>
+        val (_, t) = timed(searcher.searchLiteral(q, 10).collect())
+        lat += t
+      }
+    }
+    val sorted = lat.sorted
+    val p50 = sorted(sorted.size / 2)
+    val p99 = sorted(math.min(sorted.size - 1, (sorted.size * 99) / 100))
+    results += "query_p50" -> p50
+    results += "query_p99" -> p99
+
+    val (_, tRegex) = timed(
+      searcher.searchRegex("merge (join|sort)", 10).collect())
+    results += "regex_search" -> tRegex
+
+    // --- pipeline ops
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (_, tMin) = timed(Dedup.minhashBands(docs).count())
+    results += "minhash_bands" -> tMin
+    val (_, tSim) = timed(Dedup.simhash(docs).count())
+    results += "simhash" -> tSim
+    val (_, tCos) = timed(Similarity.cosineTopK(embs, 0L, 20).collect())
+    results += "cosine_topk" -> tCos
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    val fps = nFiles / tBuild
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","files":$nFiles,"files_per_sec":${f"$fps%.1f"},""" +
+      s""""cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -1,13 +1,298 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Searcher
+import graft.index.IndexBuilder
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Driver contract (builder prompt + SURVEY.md §7.1 item 7).
+  *
+  * Two query families:
+  *   - `q_*`: SQL-expressible operator analogs over the driver's parquet
+  *     tables, each with an exact DuckDB oracle in `oracleSql` (the
+  *     correctness gate). They cover the reference's collector/filter/
+  *     boolean surface (SURVEY §2.6/2.7) plus the training-data pipeline
+  *     ops (dedup, similarity, text analysis).
+  *   - `e_*`: the search engine itself (index build + BM25 top-k + regex)
+  *     over a corpus derived from the documents table — not expressible in
+  *     DuckDB SQL (rows-only check here; rank-identity vs the in-repo
+  *     oracle is enforced by `sbt -batch test`, EngineSpec).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** documents table → the input_hint corpus shape. */
+  def corpusFromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        substring(sha2(col("text"), 256), 1, 40).as("commit"),
+        col("lang"),
+        col("text").as("content"))
+
+  /** Build (or resume) the inverted index for a corpus dir; cached across
+    * queries of one Verify/Bench run via the `_SUCCESS` resume markers.
+    */
+  def indexFor(spark: SparkSession, sfDir: String): Searcher = {
+    val root = s"/tmp/graft-index-${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    new IndexBuilder(spark, root, bucketSize = 1024).build(
+      corpusFromDocuments(spark, sfDir))
+    new Searcher(spark, root)
+  }
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Flagship: end-to-end index build + conjunctive BM25 top-k on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val s = indexFor(spark, "/root/testdata/sf0.001")
+    s.materialize(s.searchLiteral("merge join", 10))
+      .select("docId", "score", "repo", "path", "lang")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- collectors / filters / boolean ops over documents (SURVEY §2.6-2.7)
+    "q_count" -> ((s, d) => docs(s, d).agg(count("*").as("n"))),
+    "q_lang_freq" -> ((s, d) => // C4 FrequencyCollector
+      docs(s, d).groupBy("lang").agg(count("*").as("cnt"))),
+    "q_topk_len" -> ((s, d) => // C1 TopDocs: top-k with explicit tie-break
+      docs(s, d).select("doc_id", "n_chars")
+        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(100)),
+    "q_group_cap" -> ((s, d) => { // C6 GroupCollector: top-3 per group
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      docs(s, d).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select("doc_id", "lang", "n_chars", "rn")
+    }),
+    "q_regex_verify" -> ((s, d) => // C5 BytesFilterCollector: regex verify
+      docs(s, d).filter(regexp_like(col("text"), lit("merge (join|sort)")))
+        .select("doc_id")),
+    "q_filter_indexable" -> ((s, d) => // S4 file filters
+      docs(s, d).filter(col("n_chars") <= 300 && col("lang").isin("en", "de"))
+        .select("doc_id", "lang", "n_chars")),
+    // ---- index-build analogs
+    "q_token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
+    "q_term_df" -> ((s, d) => TextOps.termDf(docs(s, d))),
+    "q_bm25_topk" -> ((s, d) => bm25Sql(docs(s, d), "merge", "join", 50)),
+    // ---- dedup family
+    "q_exact_dedup" -> ((s, d) => TextOps.exactDedup(docs(s, d))),
+    "q_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
+    "q_minhash_bands" -> ((s, d) => Dedup.minhashBands(docs(s, d))),
+    "q_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    "q_jaccard_pairs" -> ((s, d) => Dedup.jaccardConsecutive(docs(s, d))),
+    // ---- text analysis
+    "q_langid" -> ((s, d) => TextOps.langIdScore(docs(s, d))),
+    "q_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
+    // ---- similarity search
+    "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(emb(s, d), 0L, 20)),
+    "q_cosine_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupConsecutive(emb(s, d), 0.15)),
+    // ---- join zoo on the TPC-H-ish tables (B2/B3 semi/anti analogs)
+    "q_semi_join" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .filter(col("l_quantity") > 45)
+      o.join(li.select(col("l_orderkey").as("o_orderkey")).distinct(),
+        Seq("o_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus")
+    }),
+    "q_anti_join" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      o.join(li.select(col("l_orderkey").as("o_orderkey")).distinct(),
+        Seq("o_orderkey"), "left_anti")
+        .select("o_orderkey")
+    }),
+    "q_join_agg" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count("*").as("n_items"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
+    }),
+    "q_window_events" -> ((s, d) =>
+      s.read.parquet(s"$d/events.parquet")
+        .groupBy(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 3600).as("hour_bucket"))
+        .agg(count("*").as("n"),
+          round(min("value"), 4).as("min_v"),
+          round(max("value"), 4).as("max_v"))),
+    // ---- engine queries (rows-only check; rank-identity in sbt test)
+    "e_index_search" -> ((s, d) => {
+      val se = indexFor(s, d)
+      se.materialize(se.searchLiteral("merge join", 20))
+        .select("docId", "score", "repo", "path")
+    }),
+    "e_index_wand_or" -> ((s, d) => {
+      val se = indexFor(s, d)
+      se.search(Seq("vector", "stream", "window"), 20,
+        conjunctive = false, useWand = true).toDF()
+    }),
+    "e_index_regex" -> ((s, d) =>
+      indexFor(s, d).searchRegex("merge (join|sort)", 20)),
+    "e_lang_stats" -> ((s, d) => {
+      val se = indexFor(s, d)
+      se.langStats(se.searchLiteral("merge", 1000).toDF())
+    }),
+    "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(emb(s, d), 0L, 10)),
+    "e_media_features" -> ((s, _) =>
+      Multimodal.featureStats(Multimodal.synthMedia(s, 300))),
+    "e_frame_sample" -> ((s, _) =>
+      Multimodal.frameSample(Multimodal.synthMedia(s, 300), 4)
+        .select(col("media_id"), size(col("frame_indices")).as("n_sampled"))),
+  )
+
+  /** SQL-parity BM25 (double precision, quantization-free): an independent
+    * DuckDB-checkable witness of the scoring math. Conjunctive two-term
+    * query; per-term scores added explicitly (no SUM over rows) so double
+    * addition order is fixed on both engines.
+    */
+  private def bm25Sql(documents: DataFrame, t1: String, t2: String,
+                      k: Int): DataFrame = {
+    val w = documents.select(col("doc_id"),
+      explode(TextOps.words(col("text"))).as("w"))
+    val lens = w.groupBy("doc_id").agg(count("*").as("dl"))
+    val stats = lens.agg(count("*").as("n"), avg("dl").as("avgdl"))
+    val tf = w.groupBy("doc_id", "w").agg(count("*").as("tf"))
+    def side(t: String, tfn: String) =
+      tf.filter(col("w") === t).select(col("doc_id"), col("tf").as(tfn))
+    def dfOf(t: String, dfn: String) =
+      tf.filter(col("w") === t).agg(count("*").as(dfn))
+    def score(tfc: String, dfc: String) =
+      log(lit(1.0) + (col("n") - col(dfc) + 0.5) / (col(dfc) + 0.5)) *
+        2.2 * col(tfc) /
+        (col(tfc) + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    side(t1, "tf1").join(side(t2, "tf2"), "doc_id")
+      .join(lens, "doc_id")
+      .crossJoin(stats).crossJoin(dfOf(t1, "df1")).crossJoin(dfOf(t2, "df2"))
+      .select(col("doc_id"),
+        round(score("tf1", "df1") + score("tf2", "df2"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** DuckDB equivalents, same column names and value spec. */
+  def oracleSql: Map[String, String] = {
+    val words =
+      "SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) WHERE w <> ''"
+    val charHash = (v: String) =>
+      s"list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split($v,'')]), (a,c) -> (a*31+c) % 1000000007)"
+    Map(
+      "q_count" -> "SELECT count(*) AS n FROM documents",
+      "q_lang_freq" ->
+        "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+      "q_topk_len" ->
+        "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100",
+      "q_group_cap" ->
+        """SELECT doc_id, lang, n_chars, rn FROM (
+          |  SELECT doc_id, lang, n_chars, CAST(row_number() OVER (
+          |    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT) AS rn
+          |  FROM documents) WHERE rn <= 3""".stripMargin,
+      "q_regex_verify" ->
+        "SELECT doc_id FROM documents WHERE regexp_matches(text, 'merge (join|sort)')",
+      "q_filter_indexable" ->
+        "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars <= 300 AND lang IN ('en','de')",
+      "q_token_count" ->
+        """SELECT doc_id, count(*) AS n_words,
+          |  CAST(ceil(any_value(n_chars)/4.0) AS BIGINT) AS n_bpe_est
+          |FROM (SELECT doc_id, n_chars, unnest(string_split(text,' ')) AS w FROM documents)
+          |WHERE w <> '' GROUP BY doc_id""".stripMargin,
+      "q_term_df" ->
+        s"SELECT w AS term, count(DISTINCT doc_id) AS df FROM ($words) GROUP BY w",
+      "q_bm25_topk" -> bm25OracleSql("merge", "join", 50),
+      "q_exact_dedup" ->
+        "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dupes FROM documents GROUP BY md5(text)",
+      "q_fingerprint" ->
+        s"SELECT doc_id, ${charHash("text")} AS fp FROM documents",
+      "q_minhash_bands" ->
+        s"""WITH wh AS (SELECT DISTINCT doc_id, ${charHash("w")} AS wh FROM ($words)),
+           |mh AS (SELECT doc_id, seed, min(((2*seed+1)*wh + (1000003*seed+12345)) % 1000000007) AS minhash
+           |       FROM wh CROSS JOIN (SELECT unnest(range(0,12)) AS seed) GROUP BY doc_id, seed)
+           |SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+           |       string_agg(minhash, ',' ORDER BY seed) AS sig
+           |FROM mh GROUP BY doc_id, seed // 3""".stripMargin,
+      "q_simhash" ->
+        s"""WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM ($words) GROUP BY doc_id, w),
+           |wh AS (SELECT doc_id, tf, ${charHash("w")} AS wh FROM tf),
+           |votes AS (SELECT doc_id, bit, sum(tf * (((wh // CAST(pow(2,bit) AS BIGINT)) % 2)*2 - 1)) AS v
+           |          FROM wh CROSS JOIN (SELECT unnest(range(0,16)) AS bit) GROUP BY doc_id, bit)
+           |SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(pow(2,bit) AS BIGINT) ELSE 0 END) AS simhash
+           |FROM votes GROUP BY doc_id""".stripMargin,
+      "q_jaccard_pairs" ->
+        s"""WITH ws AS (SELECT DISTINCT doc_id, w FROM ($words)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM ws GROUP BY doc_id),
+           |inter AS (SELECT a.doc_id AS doc_id_a, count(*) AS n_inter
+           |          FROM ws a JOIN ws b ON a.w = b.w AND b.doc_id = a.doc_id + 1
+           |          GROUP BY a.doc_id)
+           |SELECT doc_id_a, round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) AS jaccard
+           |FROM inter
+           |JOIN sizes na ON na.doc_id = doc_id_a
+           |JOIN sizes nb ON nb.doc_id = doc_id_a + 1""".stripMargin,
+      "q_langid" ->
+        """SELECT doc_id, lang,
+          |  round(CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          |    / greatest(len(list_filter(string_split(text,' '), w -> w <> '')), 1), 4) AS stop_ratio
+          |FROM documents""".stripMargin,
+      "q_quality" ->
+        """SELECT doc_id, n_chars, n_words,
+          |  round(CAST(n_chars AS DOUBLE) / greatest(n_words, 1), 4) AS avg_word_len,
+          |  round(CAST(n_distinct AS DOUBLE) / greatest(n_words, 1), 4) AS distinct_ratio
+          |FROM (SELECT doc_id, any_value(n_chars) AS n_chars, count(*) AS n_words,
+          |        count(DISTINCT w) AS n_distinct
+          |      FROM (SELECT doc_id, n_chars, unnest(string_split(text,' ')) AS w FROM documents)
+          |      WHERE w <> '' GROUP BY doc_id)""".stripMargin,
+      "q_cosine_topk" ->
+        """SELECT b.vec_id, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+          |FROM embeddings a, embeddings b
+          |WHERE a.vec_id = 0 AND b.vec_id <> 0
+          |ORDER BY cos DESC, b.vec_id LIMIT 20""".stripMargin,
+      "q_cosine_neardup" ->
+        """SELECT a.vec_id AS vec_id_a,
+          |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+          |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.15""".stripMargin,
+      "q_semi_join" ->
+        """SELECT o_orderkey, o_orderstatus FROM orders
+          |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)""".stripMargin,
+      "q_anti_join" ->
+        """SELECT o_orderkey FROM orders
+          |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)""".stripMargin,
+      "q_join_agg" ->
+        """SELECT o_orderpriority, count(*) AS n_items,
+          |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority""".stripMargin,
+      "q_window_events" ->
+        """SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket,
+          |  count(*) AS n, round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+          |FROM events GROUP BY event_type, CAST(floor(epoch(ts)/3600) AS BIGINT)""".stripMargin,
+    )
+  }
+
+  /** DuckDB mirror of bm25Sql: same formula shape, same explicit two-term
+    * addition, double precision.
+    */
+  private def bm25OracleSql(t1: String, t2: String, k: Int): String =
+    s"""WITH w AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) WHERE w <> ''),
+       |lens AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w),
+       |s1 AS (SELECT doc_id, tf AS tf1 FROM tf WHERE w = '$t1'),
+       |s2 AS (SELECT doc_id, tf AS tf2 FROM tf WHERE w = '$t2'),
+       |d1 AS (SELECT count(*) AS df1 FROM s1),
+       |d2 AS (SELECT count(*) AS df2 FROM s2)
+       |SELECT doc_id, round(
+       |  ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5)) * 2.2 * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+       |  ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5)) * 2.2 * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)), 4) AS score
+       |FROM s1 JOIN s2 USING (doc_id) JOIN lens USING (doc_id)
+       |CROSS JOIN stats CROSS JOIN d1 CROSS JOIN d2
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
 }

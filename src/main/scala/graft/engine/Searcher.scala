@@ -1,0 +1,391 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{Block, DictEntry, IndexStats, PostingCodec, PostingRun}
+import graft.score.Bm25
+import graft.tokenize.CodeTokenizer
+
+/** A scored hit. Tie-break spec: (score desc, docId asc) — explicit
+  * determinization of tantivy's DocAddress ordering (SURVEY §4.4, §7.3).
+  */
+case class Hit(docId: Long, score: Float)
+
+/** Top-k BM25 query engine over an IndexBuilder output (SURVEY §3.1 steps
+  * 5–7 re-expressed in Spark).
+  *
+  * Two physical paths, required to be result-identical (tested):
+  *   - exhaustive: decode candidate postings → per-(term,doc) partial score
+  *     → per-doc ordered f32 sum → global top-k. The correctness baseline.
+  *   - block-max WAND: per docId-range bucket, cursor-based conjunctive /
+  *     WAND evaluation over compressed blocks using per-block score bounds
+  *     (maxTfNorm · term weight) to skip blocks that cannot beat the local
+  *     top-k threshold; buckets emit local top-k, a global
+  *     TakeOrderedAndProject merges. Per-bucket evaluation is what makes
+  *     WAND distributable: buckets are non-overlapping docId ranges, so
+  *     local-top-k ∪ merge ≡ global top-k.
+  *
+  * Scale notes: the postings scan prunes on the `term` column (parquet
+  * min/max row-group stats — postings are written sorted by term), dict
+  * lookups collect only the ≤dozens of query-term rows to the driver, and
+  * the score aggregation shuffles only candidate postings, never the index.
+  */
+class Searcher(@transient val spark: SparkSession, val indexRoot: String) {
+  import spark.implicits._
+
+  lazy val stats: IndexStats =
+    spark.read.parquet(s"$indexRoot/stats")
+      .as[IndexStats].head()
+  lazy val postings: Dataset[PostingRun] =
+    spark.read.parquet(s"$indexRoot/postings").as[PostingRun]
+  lazy val dict: Dataset[DictEntry] =
+    spark.read.parquet(s"$indexRoot/dict").as[DictEntry]
+  lazy val docs: DataFrame = spark.read.parquet(s"$indexRoot/docs")
+
+  /** Per-term (df, BM25 weight) for a query; terms absent from the dict
+    * have df = 0 (they match nothing).
+    */
+  def termStats(terms: Seq[String]): Map[String, (Long, Float)] = {
+    val n = stats.n
+    val dfs = dict.filter($"term".isin(terms: _*))
+      .collect().map(d => d.term -> d.df).toMap
+    terms.map { t =>
+      val df = dfs.getOrElse(t, 0L)
+      t -> (df, Bm25.weight(df, n))
+    }.toMap
+  }
+
+  def termWeights(terms: Seq[String]): Map[String, Float] =
+    termStats(terms).map { case (t, (_, w)) => t -> w }
+
+  /** Tokenize a literal content query with the shared tokenizer and return
+    * the (sorted, distinct) scored term set — mirrors the reference's
+    * tokenizer-stream term expansion (query/compiler.rs:103-141) minus case
+    * permutations (we lowercase at index time, SURVEY §7.3).
+    */
+  def queryTerms(text: String): Seq[String] =
+    CodeTokenizer.tokenize(text).distinct.sorted.toSeq
+
+  /** Literal content search, conjunctive (reference BooleanQuery
+    * intersection semantics, SURVEY §2.6 B3): all terms must match; score =
+    * f32 sum of BM25 partials in ascending term order.
+    */
+  def searchLiteral(text: String, k: Int, useWand: Boolean = true): Dataset[Hit] = {
+    val terms = queryTerms(text)
+    if (terms.isEmpty) return spark.emptyDataset[Hit]
+    search(terms, k, conjunctive = true, useWand)
+  }
+
+  def search(terms0: Seq[String], k: Int, conjunctive: Boolean,
+             useWand: Boolean): Dataset[Hit] = {
+    val terms = terms0.distinct.sorted
+    val ts = termStats(terms)
+    if (conjunctive && terms.exists(t => ts(t)._1 == 0L))
+      return spark.emptyDataset[Hit] // a never-seen term ANDs to nothing
+    val weights = ts.map { case (t, (_, w)) => t -> w }
+    if (useWand) wandTopK(terms, weights, k, conjunctive)
+    else scoreAll(terms, weights, conjunctive)
+      .orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
+  /** Exhaustive scorer, no top-k: decode candidate postings → per-(term,doc)
+    * partial → per-doc f32 sum in ascending term order.
+    */
+  def scoreAll(terms: Seq[String], weights: Map[String, Float],
+               conjunctive: Boolean): Dataset[Hit] = {
+    val bW = spark.sparkContext.broadcast(weights)
+    val nTerms = terms.size
+    val avgdl = stats.avgdl.toFloat
+    val partials: Dataset[(Long, String, Float)] =
+      postings.filter($"term".isin(terms: _*))
+        .flatMap { run =>
+          val w = bW.value(run.term)
+          val normCache = Searcher.normCacheFor(avgdl)
+          PostingCodec.decodeRun(run.blocks).map { case (docId, tf, normId) =>
+            (docId, run.term, Bm25.partial(w, tf, normCache(normId & 0xff)))
+          }
+        }
+    partials.groupByKey(_._1)
+      .flatMapGroups { (docId, it) =>
+        val arr = it.toArray.sortBy(_._2) // ascending term order — f32 determinism
+        if (conjunctive && arr.length != nTerms) Iterator.empty
+        else {
+          var s = 0f
+          var i = 0
+          while (i < arr.length) { s += arr(i)._3; i += 1 }
+          Iterator.single(Hit(docId, s))
+        }
+      }
+  }
+
+  def exhaustiveTopK(terms: Seq[String], weights: Map[String, Float],
+                     k: Int, conjunctive: Boolean): Dataset[Hit] =
+    scoreAll(terms, weights, conjunctive)
+      .orderBy($"score".desc, $"docId".asc).limit(k)
+
+  /** Block-max WAND / conjunctive path: postings of the query terms are
+    * re-keyed by bucket so each task sees complete runs for its docId
+    * range, evaluates with block skipping, and emits a local top-k.
+    */
+  def wandTopK(terms: Seq[String], weights: Map[String, Float], k: Int,
+               conjunctive: Boolean): Dataset[Hit] = {
+    val bW = spark.sparkContext.broadcast(weights)
+    val avgdl = stats.avgdl.toFloat
+    val nTerms = terms.size
+    val candidates = postings.filter($"term".isin(terms: _*))
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, runs) =>
+        val normCache = Searcher.normCacheFor(avgdl)
+        val cursors = runs.toArray.sortBy(_.term).map { r =>
+          new BlockCursor(r.term, bW.value(r.term), r.blocks.toIndexedSeq,
+            normCache)
+        }
+        if (conjunctive && cursors.length != nTerms) Iterator.empty
+        else if (conjunctive)
+          BmwScorer.conjunctive(cursors, k)
+        else BmwScorer.wand(cursors, k)
+      }
+    candidates.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
+  /** Two-phase regex search (SURVEY §2.7 C5): trigram-prefilter candidates
+    * from the "g:" posting namespace, then exact `regexp_like` verify on
+    * the docs table — the BytesFilterCollector pattern
+    * (collector/bytes_filter.rs:103-116) as a semi-join + codegen'd filter.
+    * Returns verified docs scored by BM25 over the plan's trigram terms.
+    */
+  def searchRegex(pattern: String, k: Int,
+                  caseSensitive: Boolean = false): DataFrame = {
+    import graft.query.RegexPlanner
+    val frag = RegexPlanner.plan(pattern)
+    val grams = RegexPlanner.requiredGrams(frag).map("g:" + _).toSeq.sorted
+    val candidates: DataFrame =
+      if (grams.isEmpty) docs.select($"docId").withColumn("score", lit(0f))
+      else {
+        val ts = termStats(grams)
+        if (ts.exists(_._2._1 == 0L)) // a required gram is absent: no matches
+          return docs.select($"docId", lit(0f).as("score"),
+            $"repo", $"path", $"lang").limit(0)
+        scoreAll(grams, ts.map { case (t, (_, w)) => t -> w },
+          conjunctive = true).toDF()
+      }
+    val pat = if (caseSensitive) pattern else "(?i)" + pattern
+    candidates.join(docs, "docId")
+      .filter(regexp_like($"content", lit(pat)))
+      .select($"docId", $"score", $"repo", $"path", $"lang")
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+  }
+
+  /** Hit materialization: fetch stored fields for the ≤k winners —
+    * the `searcher.doc(addr)` row fetch (indexes.rs:291-294) as a
+    * broadcast join of the tiny top-k side against docs.
+    */
+  def materialize(hits: Dataset[Hit]): DataFrame =
+    docs.join(broadcast(hits.toDF()), "docId")
+      .orderBy($"score".desc, $"docId".asc)
+
+  /** Hit stats (reference FrequencyCollector, collector/frequency.rs:10-65):
+    * lang / repo histograms over the full candidate set.
+    */
+  def langStats(hits: DataFrame): DataFrame =
+    hits.select("docId").join(docs, "docId").groupBy($"lang").count()
+  def repoStats(hits: DataFrame): DataFrame =
+    hits.select("docId").join(docs, "docId").groupBy($"repo").count()
+}
+
+object Searcher {
+  // per-JVM cache of the 256-entry norm table keyed by avgdl
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[Float, Array[Float]]()
+  def normCacheFor(avgdl: Float): Array[Float] =
+    cache.computeIfAbsent(avgdl, a => Bm25.normCache(a))
+}
+
+/** Cursor over one term's compressed posting run with block skipping.
+  * blockMax = weight · block.maxTfNorm bounds every score in the block —
+  * the per-block max-score metadata of SURVEY §4.4.
+  */
+final class BlockCursor(val term: String, val weight: Float,
+                        blocks: IndexedSeq[Block],
+                        normCache: Array[Float]) {
+  private var bi = 0                       // current block index
+  private var decoded: Array[(Long, Int, Byte)] = _
+  private var ei = 0                       // entry index in decoded
+  advanceBlock()
+
+  private def advanceBlock(): Unit = {
+    decoded = if (bi < blocks.length) PostingCodec.decodeBlock(blocks(bi)) else null
+    ei = 0
+  }
+
+  def exhausted: Boolean = decoded == null
+  def docId: Long = decoded(ei)._1
+  def score: Float = {
+    val (_, tf, normId) = decoded(ei)
+    Bm25.partial(weight, tf, normCache(normId & 0xff))
+  }
+  /** Upper bound for any doc in the CURRENT block only — valid once the
+    * cursor is positioned in the block that contains (or follows) the doc
+    * under test.
+    */
+  def currentBlockMax: Float =
+    if (exhausted) 0f else weight * blocks(bi).maxTfNorm
+  /** Run-global upper bound — safe for pivot selection regardless of
+    * cursor position (BMW uses the term max for pivoting and the block max
+    * for the final prune).
+    */
+  val globalMax: Float = {
+    var m = 0f
+    var i = 0
+    while (i < blocks.length) {
+      val v = weight * blocks(i).maxTfNorm
+      if (v > m) m = v
+      i += 1
+    }
+    m
+  }
+
+  /** Advance to the first posting with docId ≥ target. Skips whole blocks
+    * via lastDocId metadata without decoding them.
+    */
+  def advanceTo(target: Long): Unit = {
+    if (exhausted) return
+    while (bi < blocks.length && blocks(bi).lastDocId < target) {
+      bi += 1; ei = 0; decoded = null
+    }
+    if (bi >= blocks.length) { decoded = null; return }
+    if (decoded == null) advanceBlock()
+    while (ei < decoded.length && decoded(ei)._1 < target) ei += 1
+    if (ei >= decoded.length) { bi += 1; advanceBlock(); if (bi >= blocks.length) decoded = null else advanceTo(target) }
+  }
+
+  def next(): Unit = {
+    if (exhausted) return
+    ei += 1
+    if (ei >= decoded.length) {
+      bi += 1
+      if (bi < blocks.length) advanceBlock() else decoded = null
+    }
+  }
+}
+
+/** Block-max scorers. Both maintain a bounded (score desc, docId asc)
+  * top-k heap and sum partials in ascending term order (cursor arrays are
+  * term-sorted by the caller) for f32 determinism.
+  */
+object BmwScorer {
+
+  private final class TopK(k: Int) {
+    // min-heap on (score asc, docId desc) so the root is the weakest hit
+    val ord: Ordering[Hit] = Ordering.by(h => (-h.score, h.docId))
+    val heap = new scala.collection.mutable.PriorityQueue[Hit]()(ord)
+    def threshold: Float =
+      if (heap.size < k) Float.NegativeInfinity else heap.head.score
+    def offer(h: Hit): Unit = {
+      if (heap.size < k) heap.enqueue(h)
+      else if (h.score > heap.head.score ||
+               (h.score == heap.head.score && h.docId < heap.head.docId)) {
+        heap.dequeue(); heap.enqueue(h)
+      }
+    }
+    def result: Iterator[Hit] = heap.iterator.toArray.iterator
+  }
+
+  /** Conjunctive (AND) evaluation: cursor intersection with block skipping;
+    * block-max pruning once the heap is full. Candidates surface in
+    * ascending docId order, so equal-score later candidates lose the
+    * (score desc, docId asc) tie-break — pruning on strict `>` is exact.
+    */
+  def conjunctive(cursors: Array[BlockCursor], k: Int): Iterator[Hit] = {
+    if (cursors.isEmpty || cursors.exists(_.exhausted)) return Iterator.empty
+    val topk = new TopK(k)
+    var live = true
+    while (live) {
+      // candidate = max of current docIds; align all cursors on it
+      var target = cursors(0).docId
+      var i = 1
+      while (i < cursors.length) {
+        if (cursors(i).docId > target) target = cursors(i).docId
+        i += 1
+      }
+      var aligned = true
+      i = 0
+      while (i < cursors.length && live) {
+        cursors(i).advanceTo(target)
+        if (cursors(i).exhausted) { live = false; aligned = false }
+        else if (cursors(i).docId != target) aligned = false
+        i += 1
+      }
+      if (live && aligned) {
+        // blockMax prune: cheap upper bound before full scoring
+        var ub = 0f
+        i = 0
+        while (i < cursors.length) { ub += cursors(i).currentBlockMax; i += 1 }
+        if (ub > topk.threshold) {
+          var s = 0f
+          i = 0
+          while (i < cursors.length) { s += cursors(i).score; i += 1 }
+          topk.offer(Hit(target, s))
+        }
+        cursors(0).next()
+        if (cursors(0).exhausted) live = false
+      }
+    }
+    topk.result
+  }
+
+  /** WAND (weak-AND / OR semantics) with block-max pruning. */
+  def wand(cursors0: Array[BlockCursor], k: Int): Iterator[Hit] = {
+    val topk = new TopK(k)
+    var cursors = cursors0.filterNot(_.exhausted)
+    while (cursors.nonEmpty) {
+      // sort by current docId (stable; term order preserved for equal docIds)
+      cursors = cursors.sortBy(_.docId)
+      // pivot: smallest prefix whose summed RUN-GLOBAL max beats the
+      // threshold (block maxes are only valid at the cursor's position)
+      var acc = 0f
+      var pivotIdx = -1
+      var i = 0
+      while (i < cursors.length && pivotIdx < 0) {
+        acc += cursors(i).globalMax
+        if (acc > topk.threshold) pivotIdx = i
+        i += 1
+      }
+      if (pivotIdx < 0) {
+        // even the sum of every remaining term's max cannot beat the
+        // threshold: no further doc can enter the top-k
+        cursors = Array.empty
+      } else {
+        val pivotDoc = cursors(pivotIdx).docId
+        if (cursors(0).docId == pivotDoc) {
+          // all cursors up to pivot sit on pivotDoc: block-max prune, then
+          // full score in ascending TERM order for f32 determinism
+          val matching = cursors.filter(c => !c.exhausted && c.docId == pivotDoc)
+            .sortBy(_.term)
+          var ub = 0f
+          var j = 0
+          while (j < matching.length) { ub += matching(j).currentBlockMax; j += 1 }
+          if (ub > topk.threshold) {
+            var s = 0f
+            j = 0
+            while (j < matching.length) { s += matching(j).score; j += 1 }
+            topk.offer(Hit(pivotDoc, s))
+          }
+          matching.foreach(_.next())
+          cursors = cursors.filterNot(_.exhausted)
+        } else {
+          // advance pre-pivot cursors to the pivot
+          var j = 0
+          while (j < pivotIdx) {
+            if (cursors(j).docId < pivotDoc) cursors(j).advanceTo(pivotDoc)
+            j += 1
+          }
+          cursors = cursors.filterNot(_.exhausted)
+        }
+      }
+    }
+    topk.result
+  }
+}

@@ -1,0 +1,308 @@
+package graft.index
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+
+import graft.score.{Bm25, SmallFloat}
+import graft.tokenize.CodeTokenizer
+
+/** Input corpus row (BASELINE.json.input_hint shape + sha). */
+case class CorpusRow(repo: String, path: String, commit: String,
+                     lang: String, content: String, contentSha: String)
+
+case class IdRow(docId: Long, repo: String, path: String,
+                 commit: String, lang: String, content: String,
+                 contentSha: String)
+
+private case class TokBucket(term: String, docId: Long, tf: Int,
+                             normId: Byte, bucket: Int)
+
+/** Distributed inverted-index builder (SURVEY §3.2 Spark shape):
+  *
+  *   corpus → filter (reference indexability limits)
+  *          → deterministic docId assignment (global rank, scalable)
+  *   stage "docs":     per-doc stored/fast fields + corpus stats
+  *   stage "postings": tokenize → (term, docId, tf, normId)
+  *                     → shuffle on (term, bucket) [bucket = docId range =
+  *                       deterministic salt for hot terms, SURVEY §4.3]
+  *                     → secondary-sorted streaming block encode
+  *   stage "dict":     per-term global df/cf/maxTfNorm from run partials
+  *
+  * Each stage is idempotent, `_SUCCESS`-gated for resume-after-failure, and
+  * checkpoints per-partition lineage + metrics (SURVEY §4.5). Replaces the
+  * reference's single-node tantivy write path (multi-threaded writer with
+  * 500 MB buffer + segment merge, server/bleep/src/indexes.rs:233-237):
+  * Spark's sort-shuffle with spill is the buffer, the (term,bucket) merge
+  * is the segment merge.
+  *
+  * Scale notes (100 TB / 10^12 files): both heavy stages are single-shuffle;
+  * the docId rank needs one tiny count-per-partition job (no extra data
+  * movement beyond the range partitioning a global sort needs anyway); no
+  * row data is collected to the driver; hot-term shuffle groups are bounded
+  * by bucketSize regardless of term frequency.
+  */
+class IndexBuilder(
+    @transient val spark: SparkSession,
+    val indexRoot: String,
+    bucketSize: Long = 1L << 20,
+    includeTrigrams: Boolean = true,
+    numPartitions: Int = 0) {
+
+  import spark.implicits._
+  import IndexBuilder._
+
+  private def P: Int =
+    if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+
+  def docsPath = s"$indexRoot/docs"
+  def postingsPath = s"$indexRoot/postings"
+  def dictPath = s"$indexRoot/dict"
+  def statsPath = s"$indexRoot/stats"
+  def lineagePath = s"$indexRoot/lineage"
+
+  private def done(path: String): Boolean =
+    new java.io.File(s"$path/_SUCCESS").exists()
+
+  /** Deterministic 1-based docId = global rank in (repo, path, commit)
+    * order (FIXTURES.md §2). Scalable two-pass rank: range-partition +
+    * in-partition sort, count rows per partition (metadata-sized job),
+    * broadcast prefix offsets, tag rows in a narrow mapPartitions. The
+    * result is partitioning-invariant because rank in a total order does
+    * not depend on where the range boundaries fall.
+    */
+  def withDocIds(corpus: DataFrame): Dataset[IdRow] = {
+    val withSha =
+      if (corpus.columns.contains("contentSha")) corpus
+      else corpus.withColumn("contentSha", sha2($"content", 256))
+    val keyed = withSha
+      .select("repo", "path", "commit", "lang", "content", "contentSha")
+      .as[CorpusRow]
+      .repartitionByRange(P, $"repo", $"path", $"commit")
+      .sortWithinPartitions("repo", "path", "commit")
+    val counts = keyed.groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](P + 1)
+    var acc = 0L
+    (0 until P).foreach { pid =>
+      offsets(pid) = acc; acc += counts.getOrElse(pid, 0L)
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    keyed.mapPartitions { it =>
+      var next = bOffsets.value(TaskContext.getPartitionId())
+      it.map { r =>
+        next += 1
+        IdRow(next, r.repo, r.path, r.commit, r.lang, r.content, r.contentSha)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  /** Stage "docs": stored fields + fast-field analogs (SURVEY §1.2) and
+    * corpus stats. lineEnds mirrors line_end_indices
+    * (indexes/file.rs:713-721, incl. the implicit trailing newline).
+    */
+  def buildDocs(corpus: DataFrame): Unit = {
+    if (done(docsPath) && done(statsPath)) return
+    val lin = newLineageAcc()
+    val docs = withDocIds(filterIndexable(corpus)).mapPartitions { it =>
+      instrument[Doc]("docs", lin)(it.map(buildDoc))(
+        d => s"${d.docId}:${d.contentSha}")
+    }
+    docs.write.mode("overwrite").parquet(docsPath)
+    writeLineage(lin)
+    val st = spark.read.parquet(docsPath)
+      .agg(count("*").as("n"), coalesce(sum($"docLen"), lit(0L)).as("t"))
+      .head()
+    val n = st.getLong(0)
+    val t = st.getLong(1)
+    val stats = IndexStats(n, t, if (n == 0) 0.0 else t.toDouble / n)
+    Seq(stats).toDS().coalesce(1).write.mode("overwrite").parquet(statsPath)
+  }
+
+  def readStats(): IndexStats =
+    spark.read.parquet(statsPath).as[IndexStats].head()
+
+  /** Stage "postings": the inverted index proper. One shuffle, keyed by
+    * (term, bucket): bucket = (docId-1)/bucketSize chops every hot term's
+    * postings into bounded, non-overlapping docId ranges (deterministic
+    * salting); in-partition secondary sort by docId lets the encoder
+    * stream each run into compressed blocks without materializing a group.
+    */
+  def buildPostings(corpus: DataFrame): Unit = {
+    if (done(postingsPath)) return
+    val stats = readStats()
+    val bNormCache = spark.sparkContext.broadcast(
+      Bm25.normCache(stats.avgdl.toFloat))
+    val bs = bucketSize
+    val trig = includeTrigrams
+    val lin = newLineageAcc()
+    val raw: Dataset[TokBucket] =
+      withDocIds(filterIndexable(corpus)).mapPartitions { it =>
+        it.flatMap { r =>
+          val docLen = CodeTokenizer.tokenize(r.content).length
+          tokenizeDoc(r.docId, r.path, r.content,
+            SmallFloat.intToByte4(docLen), trig)
+            .map(p => TokBucket(p.term, p.docId, p.tf, p.normId,
+              ((p.docId - 1) / bs).toInt))
+        }
+      }
+    val runs = raw
+      .repartition(P, $"term", $"bucket")
+      .sortWithinPartitions($"term", $"bucket", $"docId")
+      .mapPartitions { it =>
+        instrument[PostingRun]("postings", lin)(
+          new RunGroupingIterator(it, bNormCache.value))(
+          r => s"${r.term}:${r.bucket}:${r.df}")
+      }
+    runs.write.mode("overwrite").parquet(postingsPath)
+    writeLineage(lin)
+  }
+
+  /** Stage "dict": global per-term stats from the (term,bucket) partials —
+    * the second phase of the two-phase merge: partials are tiny (one row
+    * per term×bucket), so this groupBy is skew-proof even for `if`.
+    */
+  def buildDict(): Unit = {
+    if (done(dictPath)) return
+    spark.read.parquet(postingsPath)
+      .groupBy($"term")
+      .agg(sum($"df").as("df"), sum($"cf").as("cf"),
+        max($"maxTfNorm").as("maxTfNorm"))
+      .as[DictEntry]
+      .write.mode("overwrite").parquet(dictPath)
+  }
+
+  /** Full build with resume: stages skip when their `_SUCCESS` marker is
+    * present (kill mid-build ⇒ unfinished stage has no marker ⇒ reruns;
+    * outputs are deterministic so resume reproduces identical artifacts).
+    */
+  def build(corpus: DataFrame): Unit = {
+    buildDocs(corpus)
+    buildPostings(corpus)
+    buildDict()
+  }
+
+  // ----------------------------------------------------------------- lineage
+  private def newLineageAcc(): CollectionAccumulator[LineageRow] =
+    spark.sparkContext.collectionAccumulator[LineageRow]("lineage")
+
+  private def writeLineage(acc: CollectionAccumulator[LineageRow]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val rows = acc.value.asScala.toSeq
+    if (rows.nonEmpty)
+      rows.toDS().coalesce(1).write.mode("append").parquet(lineagePath)
+  }
+}
+
+object IndexBuilder {
+
+  /** Reference indexability filters (server/bleep/src/repo/iterator.rs:21-23,
+    * indexes/file.rs:723-729): ≤600 KB, ≤20 000 lines. Pure Column exprs →
+    * pushed into the scan.
+    */
+  def filterIndexable(corpus: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    corpus.filter(octet_length($"content") <= 600000 &&
+      size(split($"content", "\n", -1)) <= 20001)
+  }
+
+  /** Per-doc field derivation (stage "docs" row transform). */
+  def buildDoc(r: IdRow): Doc = {
+    val docLen = CodeTokenizer.tokenize(r.content).length
+    val b = scala.collection.mutable.ArrayBuilder.make[Int]
+    var i = 0
+    while (i < r.content.length) {
+      if (r.content.charAt(i) == '\n') b += i
+      i += 1
+    }
+    if (r.content.isEmpty || r.content.last != '\n') b += r.content.length
+    val lineEnds = b.result()
+    Doc(r.docId, r.repo, r.path, r.commit, r.lang, r.content, r.contentSha,
+      docLen, SmallFloat.intToByte4(docLen),
+      if (lineEnds.length == 0) 0.0
+      else r.content.length.toDouble / lineEnds.length,
+      lineEnds)
+  }
+
+  /** Tokenize one doc into raw postings: code tokens with tf, plus distinct
+    * lowercase content trigrams as "g:" terms (regex prefilter — the analog
+    * of the reference's 1–3-gram index, SURVEY §2.3 T1/T2) and distinct
+    * path trigrams as "p:" terms (fuzzy path search, indexes/file.rs:234-351).
+    */
+  def tokenizeDoc(docId: Long, path: String, content: String, normId: Byte,
+                  trigrams: Boolean): Iterator[RawPosting] = {
+    val (tf, _) = CodeTokenizer.termFreqs(content)
+    val toks = tf.iterator.map { case (t, f) => RawPosting(t, docId, f, normId) }
+    if (!trigrams) toks
+    else {
+      val grams = scala.collection.mutable.HashSet.empty[String]
+      val lc = content.toLowerCase
+      val n = lc.length
+      if (n <= 3 && n > 0) grams += lc
+      var i = 0
+      while (i + 3 <= n) { grams += lc.substring(i, i + 3); i += 1 }
+      val pGrams = scala.collection.mutable.HashSet.empty[String]
+      CodeTokenizer.trigrams(path.toLowerCase).foreach(pGrams += _)
+      toks ++
+        grams.iterator.map(g => RawPosting("g:" + g, docId, 1, normId)) ++
+        pGrams.iterator.map(g => RawPosting("p:" + g, docId, 1, normId))
+    }
+  }
+
+  /** Wrap a stage's per-partition output iterator with row counting, output
+    * digesting and wall-time; registers one LineageRow per partition on
+    * task completion (no extra pass over the data).
+    */
+  def instrument[T](stage: String, acc: CollectionAccumulator[LineageRow])
+                   (out: Iterator[T])(digest: T => String): Iterator[T] = {
+    val pid = TaskContext.getPartitionId()
+    val t0 = System.nanoTime()
+    var rows = 0L
+    var bytes = 0L
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val it = out.map { r =>
+      rows += 1
+      val d = digest(r)
+      bytes += d.length
+      md.update(d.getBytes("UTF-8"))
+      r
+    }
+    TaskContext.get().addTaskCompletionListener[Unit] { _ =>
+      acc.add(LineageRow(stage, pid, rows, rows, bytes,
+        md.digest().map("%02x".format(_)).mkString,
+        (System.nanoTime() - t0) / 1000000))
+    }
+    it
+  }
+}
+
+/** Streaming grouper: consumes TokBucket rows sorted by (term, bucket,
+  * docId) and emits one encoded PostingRun per (term,bucket) without
+  * materializing more than one run's blocks at a time.
+  */
+private class RunGroupingIterator(
+    it: Iterator[TokBucket],
+    normCache: Array[Float]) extends Iterator[PostingRun] {
+  private val buf = it.buffered
+  override def hasNext: Boolean = buf.hasNext
+  override def next(): PostingRun = {
+    val term = buf.head.term
+    val bucket = buf.head.bucket
+    var df = 0L
+    var cf = 0L
+    val entries = new Iterator[(Long, Int, Byte)] {
+      def hasNext: Boolean =
+        buf.hasNext && buf.head.term == term && buf.head.bucket == bucket
+      def next(): (Long, Int, Byte) = {
+        val e = buf.next()
+        df += 1; cf += e.tf
+        (e.docId, e.tf, e.normId)
+      }
+    }
+    val blocks = PostingCodec.encodeRun(entries, normCache)
+    val maxTfNorm = if (blocks.isEmpty) 0f else blocks.map(_.maxTfNorm).max
+    PostingRun(term, bucket, df, cf, maxTfNorm, blocks)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data pipelines: MinHash+LSH,
+  * SimHash, and n-gram Jaccard over the `documents` table.
+  *
+  * All hash arithmetic is plain 64-bit integer math over TextOps.charHash
+  * (no engine-specific hash functions) so every step has an exact DuckDB
+  * oracle. Scale shape: per-doc signatures are narrow (one shuffle to band
+  * buckets); candidate pairs only ever materialize within an LSH bucket —
+  * the all-pairs explosion never happens.
+  */
+object Dedup {
+  import TextOps.{HashP, charHash, words}
+
+  val NumHashes = 12
+  val Bands = 4 // rows per band = NumHashes / Bands = 3
+
+  /** seed parameters for the i-th minhash permutation */
+  def seedA(i: Int): Long = 2L * i + 1
+  def seedB(i: Int): Long = 1000003L * i + 12345
+
+  /** MinHash signatures: for each doc and seed i,
+    * min over distinct words w of (A_i·charHash(w) + B_i) mod P.
+    * Output long format: (doc_id, seed, minhash).
+    */
+  def minhash(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val seeds = (0 until NumHashes).map(i => (i, seedA(i), seedB(i)))
+      .toDF("seed", "a", "b")
+    documents
+      .select(col("doc_id"),
+        explode(array_distinct(words(col("text")))).as("w"))
+      .withColumn("wh", charHash(col("w")))
+      .crossJoin(broadcast(seeds))
+      .groupBy("doc_id", "seed")
+      .agg(min((col("a") * col("wh") + col("b")) % HashP).as("minhash"))
+  }
+
+  /** LSH banding: group the signature into Bands bands of 3 rows each;
+    * band signature = comma-joined minhashes in seed order. Docs sharing a
+    * (band, sig) bucket are near-dup candidates — the bucket-join replaces
+    * the quadratic all-pairs compare at scale.
+    */
+  def minhashBands(documents: DataFrame): DataFrame =
+    minhash(documents)
+      .withColumn("band", (col("seed") / (NumHashes / Bands)).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
+          s => s.getField("minhash").cast("string"))).as("sig"))
+
+  /** Candidate near-dup pairs from shared LSH buckets (doc_id_a < doc_id_b). */
+  def minhashCandidates(documents: DataFrame): DataFrame = {
+    val b = minhashBands(documents)
+    val l = b.select(col("band"), col("sig"), col("doc_id").as("doc_id_a"))
+    val r = b.select(col("band"), col("sig"), col("doc_id").as("doc_id_b"))
+    l.join(r, Seq("band", "sig"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b").distinct()
+  }
+
+  /** 16-bit SimHash over word frequencies: bit b of charHash(w) votes
+    * +tf/−tf; simhash bit b = 1 iff the vote sum is positive.
+    */
+  def simhash(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bits = (0 until 16).toDF("bit")
+    documents
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count("*").as("tf"))
+      .withColumn("wh", charHash(col("w")))
+      .crossJoin(broadcast(bits))
+      // bit extract via exact integer arithmetic (pow is exact ≤ 2^15)
+      .withColumn("vote",
+        col("tf") * (expr("(wh DIV CAST(pow(2, bit) AS BIGINT)) % 2") * 2 - 1))
+      .groupBy("doc_id", "bit")
+      .agg(sum("vote").as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("CAST(pow(2, bit) AS BIGINT)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Word-set Jaccard similarity of consecutive doc pairs (doc_id, doc_id+1)
+    * — the n-gram-Jaccard near-dup measure demonstrated on a deterministic
+    * O(n) pair set (the LSH bucket join above picks the pairs at scale).
+    */
+  def jaccardConsecutive(documents: DataFrame): DataFrame = {
+    val w = documents.select(col("doc_id"),
+      explode(array_distinct(words(col("text")))).as("w"))
+    val a = w.select(col("doc_id").as("doc_id_a"), col("w"))
+    val b = w.select(col("doc_id").as("doc_id_b"), col("w"))
+    val inter = a.join(b, a("w") === b("w") &&
+        col("doc_id_b") === col("doc_id_a") + 1)
+      .groupBy("doc_id_a").agg(count("*").as("n_inter"))
+    val sizes = w.groupBy("doc_id").agg(count("*").as("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_id_a"), col("n").as("na")), "doc_id_a")
+      .join(sizes.select((col("doc_id") - 1).as("doc_id_a"), col("n").as("nb")), "doc_id_a")
+      .select(col("doc_id_a"),
+        round(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over a
+  * `documents(doc_id, text, lang, source, n_chars)` table.
+  *
+  * Every op here is (a) a pure Column-expression pipeline — codegen'd,
+  * partition-parallel, shuffle-free unless aggregating — and (b) designed to
+  * be mirrored exactly in ANSI SQL (DuckDB oracle): integer arithmetic
+  * instead of engine-specific hash functions, explicit rounding for
+  * doubles. The char-level rolling hash (`charHash`) is the shared
+  * primitive for minhash/simhash/fingerprints — deterministic and
+  * SQL-expressible on both engines.
+  */
+object TextOps {
+
+  /** words(text): non-empty space-separated tokens. For the synthetic
+    * documents table (alphabet `[a-z ]`) this equals CodeTokenizer output.
+    */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** Polynomial rolling hash of a word: fold over chars of
+    * (acc*31 + ascii) mod 1e9+7. Pure integer arithmetic → identical in
+    * Spark and DuckDB.
+    */
+  val HashP = 1000000007L
+  def charHash(w: Column): Column =
+    aggregate(split(w, ""), lit(0L),
+      (acc, c) => (acc * 31L + ascii(c)) % HashP)
+
+  /** SQL fragment computing the same charHash in DuckDB. */
+  def charHashSql(w: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split($w,'')]), (a,c) -> (a*31+c) % 1000000007)"
+
+  // ------------------------------------------------------------ operators
+
+  /** Token counting: whitespace tokens + a BPE-ish sub-token estimate
+    * (ceil(chars/4) — the common ~4-chars-per-token heuristic).
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_words"),
+      ceil(col("n_chars") / 4.0).cast("long").as("n_bpe_est"))
+
+  /** Per-term document frequency — the dict-build analog (SURVEY §2.1 S7 /
+    * dict stage) as a plain explode + two-level aggregate.
+    */
+  def termDf(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("term"))
+      .groupBy("term")
+      .agg(count("*").as("df"))
+
+  /** Language-ID heuristic: stopword-hit ratio against a tiny English
+    * function-word list (n-gram/stopword heuristic class of detectors).
+    * Deterministic, SQL-expressible.
+    */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  def langIdScore(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val hits = filter(ws, w => w.isin(StopWords: _*))
+    documents.select(
+      col("doc_id"),
+      col("lang"),
+      round(size(hits).cast("double") / greatest(size(ws), lit(1)), 4)
+        .as("stop_ratio"))
+  }
+
+  /** Quality scoring: length, average word length, stopword ratio, distinct
+    * ratio — the usual cheap pre-training quality gates.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    documents.select(
+      col("doc_id"),
+      col("n_chars"),
+      size(ws).cast("long").as("n_words"),
+      round(col("n_chars").cast("double") / greatest(size(ws), lit(1)), 4)
+        .as("avg_word_len"),
+      round(size(array_distinct(ws)).cast("double") / greatest(size(ws), lit(1)), 4)
+        .as("distinct_ratio"))
+  }
+
+  /** Document fingerprinting: charHash of the full text (rolling hash over
+    * every char incl. spaces) — the cheap exact-dup / shard-stable id.
+    */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      aggregate(split(col("text"), ""), lit(0L),
+        (acc, c) => (acc * 31L + ascii(c)) % HashP).as("fp"))
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id
+    * (hash-groupBy dedup; one shuffle, map-side combinable).
+    */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count("*").as("dupes"))
+}

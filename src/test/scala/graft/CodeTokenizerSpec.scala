@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tokenize.CodeTokenizer._
+
+class CodeTokenizerSpec extends AnyFunSuite {
+
+  /** deterministic fuzz corpus: printable-ascii strings */
+  private def fuzzStrings(n: Int): Seq[String] = {
+    val rng = new java.util.Random(7)
+    (0 until n).map { _ =>
+      val len = rng.nextInt(60)
+      new String(Array.fill(len)((32 + rng.nextInt(95)).toChar))
+    }
+  }
+
+  test("camelCase splits (FIXTURES §4 golden)") {
+    assert(tokenize("parseHTTPResponse").toSeq == Seq("parse", "http", "response"))
+    assert(tokenize("snake_case_id").toSeq == Seq("snake", "case", "id"))
+    assert(tokenize("XMLHttpRequest").toSeq == Seq("xml", "http", "request"))
+    assert(tokenize("simpleWord").toSeq == Seq("simple", "word"))
+  }
+
+  test("separators and digits") {
+    assert(tokenize("foo.bar(baz)").toSeq == Seq("foo", "bar", "baz"))
+    assert(tokenize("utf8_decode").toSeq == Seq("utf8", "decode"))
+    assert(tokenize("a2B").toSeq == Seq("a2", "b"))
+    assert(tokenize("").toSeq == Seq())
+    assert(tokenize("___").toSeq == Seq())
+    assert(tokenize("if (x) { return y; }").toSeq == Seq("if", "x", "return", "y"))
+  }
+
+  test("trigram goldens (reference query/compiler.rs:320-339 semantics)") {
+    assert(trigrams("abcde").toSeq == Seq("abc", "bcd", "cde"))
+    assert(trigrams("ab").toSeq == Seq("ab"))
+    assert(trigrams("abc").toSeq == Seq("abc"))
+    assert(trigrams("ab㐀de").toSeq == Seq("ab㐀", "b㐀d", "㐀de"))
+  }
+
+  test("case permutations (reference query/compiler.rs:342-363 semantics)") {
+    assert(casePermutations("ab").toSet == Set("ab", "Ab", "aB", "AB"))
+    assert(casePermutations("a1").toSet == Set("a1", "A1"))
+    // >5 caseable chars: no expansion (cap at compiler.rs:22)
+    assert(casePermutations("abcdef") == Seq("abcdef"))
+  }
+
+  test("tokenize is deterministic and always lowercase (fuzz)") {
+    fuzzStrings(500).foreach { s =>
+      val a = tokenize(s)
+      assert(a.toSeq == tokenize(s).toSeq)
+      assert(a.forall(t => t == t.toLowerCase && t.nonEmpty))
+    }
+  }
+
+  test("termFreqs sums to token count (fuzz)") {
+    fuzzStrings(500).foreach { s =>
+      val (tf, len) = termFreqs(s)
+      assert(tf.values.sum == len)
+      assert(len == tokenize(s).length)
+    }
+  }
+}

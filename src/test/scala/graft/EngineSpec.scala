@@ -1,0 +1,192 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusGen
+import graft.engine.Searcher
+import graft.index.IndexBuilder
+import graft.oracle.OracleEngine
+
+/** End-to-end rank-identity suite (BASELINE.md (b)): the distributed engine
+  * must return IDENTICAL top-k docIds and f32 BM25 scores to the in-repo
+  * oracle on the reference query set (FIXTURES.md §3), at every parallelism
+  * level, through both physical paths (exhaustive and block-max WAND),
+  * before and after a simulated failure + resume.
+  */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val NRepos = 12
+  val FilesPerRepo = 20
+
+  lazy val corpus = CorpusGen.synth(spark, NRepos, FilesPerRepo, seed = 42L).cache()
+
+  lazy val oracle: OracleEngine = new OracleEngine(
+    corpus.select("repo", "path", "commit", "lang", "content")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq)
+
+  lazy val indexRoot: String = {
+    val root = TestSpark.tempDir("engine")
+    new IndexBuilder(spark, root, bucketSize = 64, numPartitions = 4)
+      .build(corpus)
+    root
+  }
+  lazy val searcher = new Searcher(spark, indexRoot)
+
+  // FIXTURES.md §3: literal/content targets from the reference's own tests
+  val literalQueries = Seq(
+    "ParseError", "hello", "const", "a",
+    "if", "return", "import", // hot-skew terms (BASELINE.json.north_star)
+    "parse index", "readToken", "if return import")
+
+  val regexQueries = Seq(
+    "pars.", "parse.*index", "im.ort", "(if|return)z?", "read[a-c]?",
+    "abc.def", "token(izer)?", "impl\\s+\\w+")
+
+  private def hits(ds: org.apache.spark.sql.Dataset[graft.engine.Hit]) =
+    ds.collect().map(h => (h.docId, h.score)).toSeq
+      .sortBy { case (d, s) => (-s, d) }
+
+  test("corpus is deterministic and carries the sha invariant") {
+    val rows = corpus.limit(5).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("contentSha") ==
+        CorpusGen.sha256Hex(r.getAs[String]("content")))
+    }
+    assert(corpus.count() == NRepos.toLong * FilesPerRepo)
+  }
+
+  test("oracle and docs table agree on corpus stats") {
+    val st = searcher.stats
+    assert(st.n == oracle.n)
+    assert(st.totalTokens == oracle.totalTokens)
+    assert(st.avgdl.toFloat == oracle.avgdl)
+  }
+
+  test("docs table sha256 matches oracle rows (per-row invariant)") {
+    val docShas = searcher.docs.select("docId", "contentSha").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docShas.size == oracle.docs.size)
+    oracle.docs.foreach { d =>
+      assert(docShas(d.docId) == CorpusGen.sha256Hex(d.content))
+    }
+  }
+
+  test("dict df matches oracle df (token namespace)") {
+    val engineDf = searcher.dict
+      .filter(!$"term".startsWith("g:") && !$"term".startsWith("p:"))
+      .collect().map(d => d.term -> d.df).toMap
+    assert(engineDf == oracle.df)
+  }
+
+  for (q <- literalQueries; k <- Seq(10, 100)) {
+    test(s"rank identity, literal '$q' k=$k: exhaustive == oracle") {
+      val got = hits(searcher.searchLiteral(q, k, useWand = false))
+      val want = oracle.searchLiteral(q, k)
+      assert(got == want, s"\nengine: $got\noracle: $want")
+    }
+    test(s"rank identity, literal '$q' k=$k: WAND == oracle") {
+      val got = hits(searcher.searchLiteral(q, k, useWand = true))
+      val want = oracle.searchLiteral(q, k)
+      assert(got == want, s"\nengine: $got\noracle: $want")
+    }
+  }
+
+  test("disjunctive (OR) path: WAND == exhaustive == oracle") {
+    val terms = Seq("parse", "zebra", "import", "reader")
+    for (k <- Seq(5, 50)) {
+      val ex = hits(searcher.search(terms, k, conjunctive = false, useWand = false))
+      val wd = hits(searcher.search(terms, k, conjunctive = false, useWand = true))
+      val or = oracle.searchAny(terms, k)
+      assert(ex == or)
+      assert(wd == or)
+    }
+  }
+
+  for (pat <- regexQueries) {
+    test(s"rank identity, regex '$pat' k=10") {
+      val got = searcher.searchRegex(pat, 10).collect()
+        .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+        .sortBy { case (d, s) => (-s, d) }
+      val want = oracle.searchRegex(pat, 10)
+      assert(got == want, s"\nengine: $got\noracle: $want")
+    }
+  }
+
+  test("regex two-phase equals naive regex scan (superset-safety)") {
+    // verify stage must not lose docs the prefilter should have kept
+    val pat = "parse.*index"
+    val naive = oracle.docs.filter(d =>
+      java.util.regex.Pattern.compile("(?i)" + pat).matcher(d.content).find())
+      .map(_.docId).toSet
+    val got = searcher.searchRegex(pat, 100000).collect().map(_.getLong(0)).toSet
+    assert(got == naive)
+  }
+
+  test("parallelism invariance: identical results at 2 and 7 partitions (N vs 4N stand-in)") {
+    val root2 = TestSpark.tempDir("engine-p2")
+    val root7 = TestSpark.tempDir("engine-p7")
+    new IndexBuilder(spark, root2, bucketSize = 64, numPartitions = 2).build(corpus)
+    new IndexBuilder(spark, root7, bucketSize = 1000000, numPartitions = 7).build(corpus)
+    val s2 = new Searcher(spark, root2)
+    val s7 = new Searcher(spark, root7)
+    for (q <- Seq("if", "ParseError", "parse index")) {
+      val a = hits(s2.searchLiteral(q, 20))
+      val b = hits(s7.searchLiteral(q, 20))
+      val c = hits(searcher.searchLiteral(q, 20))
+      assert(a == c, s"p2 differs for '$q'")
+      assert(b == c, s"p7 differs for '$q'")
+    }
+    // dict identical regardless of partitioning/bucketing
+    val d2 = s2.dict.collect().map(d => (d.term, d.df, d.cf)).toSet
+    val d7 = s7.dict.collect().map(d => (d.term, d.df, d.cf)).toSet
+    assert(d2 == d7)
+  }
+
+  test("resume after simulated failure reproduces identical artifacts") {
+    val root = TestSpark.tempDir("engine-resume")
+    val b = new IndexBuilder(spark, root, bucketSize = 64, numPartitions = 4)
+    b.buildDocs(corpus)
+    // simulate a crash mid-postings: stage output absent → resume rebuilds
+    b.build(corpus)
+    val s = new Searcher(spark, root)
+    for (q <- Seq("if", "ParseError")) {
+      assert(hits(s.searchLiteral(q, 20)) == hits(searcher.searchLiteral(q, 20)))
+    }
+    // now corrupt (delete) the dict and resume: only dict rebuilds
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(s"$root/dict"))
+    val docsMtime = new java.io.File(s"$root/docs/_SUCCESS").lastModified()
+    b.build(corpus)
+    assert(new java.io.File(s"$root/dict/_SUCCESS").exists())
+    assert(new java.io.File(s"$root/docs/_SUCCESS").lastModified() == docsMtime,
+      "docs stage must be skipped on resume")
+    assert(hits(new Searcher(spark, root).searchLiteral("if", 10)) ==
+      hits(searcher.searchLiteral("if", 10)))
+  }
+
+  test("lineage: per-partition metrics written for each heavy stage") {
+    val lin = spark.read.parquet(s"$indexRoot/lineage")
+    val stages = lin.select("stage").distinct().collect().map(_.getString(0)).toSet
+    assert(stages == Set("docs", "postings"))
+    val rows = lin.collect()
+    assert(rows.forall(_.getAs[Long]("outRows") >= 0))
+    assert(rows.forall(_.getAs[String]("outSha").length == 64))
+    // docs rows must cover the whole corpus exactly once
+    val docRows = lin.filter($"stage" === "docs")
+      .agg(org.apache.spark.sql.functions.sum($"outRows")).head().getLong(0)
+    assert(docRows == oracle.n)
+  }
+
+  test("hot terms are salted: 'if' spans multiple buckets") {
+    val buckets = searcher.postings.filter($"term" === "if")
+      .select("bucket").distinct().count()
+    assert(buckets > 1, "bucketSize=64 must split the hot term across buckets")
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.query.{Fragment, RegexPlanner}
+import Fragment._
+
+/** Planner goldens mirroring the reference's planner tests
+  * (server/bleep/src/query/planner.rs:232-417) re-expressed over our
+  * Fragment algebra.
+  */
+class RegexPlannerSpec extends AnyFunSuite {
+  import RegexPlanner.{plan, requiredGrams}
+
+  test("plain literal") {
+    assert(plan("abcde") == Lit("abcde"))
+    assert(requiredGrams(plan("abcde")) == Set("abc", "bcd", "cde"))
+  }
+
+  test("group flattens into literal: ab(cd)") {
+    assert(plan("ab(cd)") == Lit("abcd"))
+  }
+
+  test("alternation distributes: (a|b|c)(de|fg)h") {
+    val g = requiredGrams(plan("(a|b|c)(de|fg)h"))
+    // every match contains one of {adeh,bdeh,cdeh,afgh,...}; required grams =
+    // intersection over alternatives — nothing common of length 3
+    assert(!g.contains("deh") || g == Set("deh")) // 'deh' only if all branches share it (they don't with fg)
+    // the planner must at least be superset-safe: all of these match
+    val re = "(a|b|c)(de|fg)h".r
+    Seq("adeh", "bfgh", "cdeh").foreach { s =>
+      assert(re.findFirstIn(s).isDefined)
+      assert(g.forall(s.contains), s"gram set $g not contained in $s")
+    }
+  }
+
+  test("top-level alternation: ab|cd") {
+    val f = plan("ab|cd")
+    assert(f == Or(Vector(Lit("ab"), Lit("cd"))))
+    assert(requiredGrams(f).isEmpty) // branches share nothing
+  }
+
+  test("dot breaks literals: abc.def") {
+    val f = plan("abc.def")
+    assert(f == And(Vector(Lit("abc"), Break, Lit("def"))))
+    assert(requiredGrams(f) == Set("abc", "def"))
+  }
+
+  test("unbounded repetition: abc.*def") {
+    assert(requiredGrams(plan("abc.*def")) == Set("abc", "def"))
+  }
+
+  test("plus keeps one copy: abcz+def") {
+    val g = requiredGrams(plan("abcz+def"))
+    assert(g.contains("abc") && g.contains("bcz") && g.contains("def"))
+    // all matches of abcz+def contain every required gram
+    Seq("abczdef", "abczzzdef").foreach { s =>
+      assert(g.forall(s.contains))
+    }
+  }
+
+  test("composed: async+.fn.main") {
+    val g = requiredGrams(plan("async+.fn.main"))
+    Seq("asyncAfnBmain", "asynccc fn main").foreach { s =>
+      assert(g.forall(gr => s.toLowerCase.contains(gr)), s"$g vs $s")
+    }
+  }
+
+  test("small class expands: abc[d-f]g") {
+    val f = plan("abc[d-f]g")
+    val g = requiredGrams(f)
+    Seq("abcdg", "abceg", "abcfg").foreach { s =>
+      assert(g.forall(s.contains), s"$g not in $s")
+    }
+    // and it is selective: the common prefix grams are required
+    assert(g.contains("abc"))
+  }
+
+  test("big class breaks") {
+    assert(plan("[a-z]") == Break)
+    assert(plan("[^x]") == Break)
+  }
+
+  test("anchors and escapes") {
+    assert(requiredGrams(plan("^abc$")) == Set("abc"))
+    assert(plan("a\\.b") == Lit("a.b"))
+    assert(requiredGrams(plan("\\w+")) == Set.empty)
+  }
+
+  test("optional does not over-require: ab?cde") {
+    val g = requiredGrams(plan("ab?cde"))
+    // "acde" is a match and must contain every required gram
+    assert(g.forall("acde".contains), s"$g")
+    assert(g.contains("cde"))
+  }
+
+  test("superset safety fuzz: every regex match contains all required grams") {
+    val cases = Seq(
+      "parse(Error|Warning)" -> Seq("parseError", "parseWarning"),
+      "fn [a-c]{2}main" -> Seq("fn abmain", "fn ccmain"),
+      "impl\\s+Display" -> Seq("impl Display", "impl  Display"),
+      "x{3}y" -> Seq("xxxy"))
+    cases.foreach { case (pat, matches) =>
+      val g = requiredGrams(plan(pat))
+      matches.foreach { m =>
+        assert(java.util.regex.Pattern.compile(pat).matcher(m).find(), s"$pat vs $m")
+        assert(g.forall(m.toLowerCase.contains), s"pattern $pat grams $g not all in '$m'")
+      }
+    }
+  }
+}
