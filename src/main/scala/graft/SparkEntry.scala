@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.Searcher
+import graft.engine.{FuzzyPath, Searcher}
 import graft.index.IndexBuilder
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
 
@@ -141,6 +141,36 @@ object SparkEntry {
     "e_lang_stats" -> ((s, d) => {
       val se = indexFor(s, d)
       se.langStats(se.searchLiteral("merge", 1000).toDF())
+    }),
+    "e_query_language" -> ((s, d) => {
+      val se = indexFor(s, d)
+      new graft.engine.QueryExecutor(se)
+        .execute("(lang:en or lang:de) merge join", 20).toDF()
+    }),
+    "e_symbol_search" -> ((s, d) => {
+      // documents text has no code defs; run over the synthetic code corpus
+      val root = s"/tmp/graft-symidx"
+      new graft.index.IndexBuilder(s, root, bucketSize = 1024)
+        .build(graft.corpus.CorpusGen.synth(s, 20, 20))
+      new graft.engine.QueryExecutor(new Searcher(s, root))
+        .execute("symbol:read", 20).toDF()
+    }),
+    "e_fuzzy_path" -> ((s, d) => {
+      import s.implicits._
+      FuzzyPath.search(indexFor(s, d), "doc1", 20)
+        .toDF("docId", "path", "repo", "fuzzy_score")
+    }),
+    "e_snippets" -> ((s, d) => {
+      import s.implicits._
+      val se = indexFor(s, d)
+      val top = se.materialize(se.searchLiteral("merge join", 5))
+        .select("docId", "content", "lineEnds").collect()
+      top.map { r =>
+        val snips = graft.engine.Snippets.forDoc(r.getString(1),
+          r.getSeq[Int](2).toArray, "merge\\s+join")
+        (r.getLong(0), snips.size,
+          snips.headOption.map(_.data.take(60)).getOrElse(""))
+      }.toSeq.toDF("docId", "n_snippets", "first_snippet")
     }),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(emb(s, d), 0L, 10)),
     "e_media_features" -> ((s, _) =>

@@ -1,0 +1,77 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.tokenize.CodeTokenizer
+
+/** Fuzzy path autocomplete (SURVEY §2.7 C8, §3.3): the reference pulls up
+  * to 50 000 candidates via an OR of path-trigram terms, then re-ranks
+  * driver-side with SkimMatcherV2 plus position and filename bonuses
+  * (server/bleep/src/indexes/file.rs:234-351).
+  *
+  * Spark shape: candidate docIds from the "p:" posting namespace ranked by
+  * matched-gram count (cheap distributed prefilter — one aggregation),
+  * capped at CandidateCap; the ≤cap winners' paths are fetched and scored
+  * with the subsequence matcher on the driver — same two-tier structure,
+  * same cap.
+  */
+object FuzzyPath {
+  val CandidateCap = 50000 // reference indexes/file.rs:315
+
+  /** Subsequence fuzzy score (SkimMatcher-flavoured, our spec):
+    * None if query is not a subsequence of path (case-insensitive);
+    * otherwise 16·matches + 8·consecutive-bonus + 4·boundary-bonus
+    * − path-length penalty + 32 if the whole query matches inside the
+    * basename.
+    */
+  def score(path: String, query: String): Option[Int] = {
+    if (query.isEmpty) return None
+    val p = path.toLowerCase
+    val q = query.toLowerCase
+    var pi = 0
+    var qi = 0
+    var consec = 0
+    var bonus = 0
+    var lastMatch = -2
+    while (pi < p.length && qi < q.length) {
+      if (p.charAt(pi) == q.charAt(qi)) {
+        if (pi == lastMatch + 1) consec += 1
+        if (pi == 0 || "/._-".indexOf(p.charAt(pi - 1)) >= 0) bonus += 1
+        lastMatch = pi
+        qi += 1
+      }
+      pi += 1
+    }
+    if (qi < q.length) None
+    else {
+      val base = q.length * 16 + consec * 8 + bonus * 4 - p.length
+      val baseName = p.substring(p.lastIndexOf('/') + 1)
+      Some(if (baseName.contains(q)) base + 32 else base)
+    }
+  }
+
+  /** Distributed candidate pull + driver re-rank. Returns
+    * (docId, path, repo, fuzzyScore) ordered by (score desc, docId asc).
+    */
+  def search(searcher: Searcher, query: String, k: Int): Seq[(Long, String, String, Int)] = {
+    import searcher.spark.implicits._
+    val grams = CodeTokenizer.trigrams(query.toLowerCase).distinct
+      .map("p:" + _).toSeq
+    if (grams.isEmpty) return Nil
+    val candidates = searcher.postings
+      .filter($"term".isin(grams: _*))
+      .flatMap(run => graft.index.PostingCodec.decodeRun(run.blocks)
+        .map(e => e._1))
+      .groupByKey(identity).count()
+      .toDF("docId", "nGrams")
+      .orderBy(col("nGrams").desc, col("docId").asc)
+      .limit(CandidateCap)
+    val rows = candidates.join(searcher.docs, "docId")
+      .select("docId", "path", "repo").collect()
+    rows.iterator.flatMap { r =>
+      score(r.getString(1), query).map(s =>
+        (r.getLong(0), r.getString(1), r.getString(2), s))
+    }.toSeq.sortBy { case (id, _, _, s) => (-s, id) }.take(k)
+  }
+}

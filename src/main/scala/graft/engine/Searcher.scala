@@ -156,7 +156,14 @@ class Searcher(@transient val spark: SparkSession, val indexRoot: String) {
     * Returns verified docs scored by BM25 over the plan's trigram terms.
     */
   def searchRegex(pattern: String, k: Int,
-                  caseSensitive: Boolean = false): DataFrame = {
+                  caseSensitive: Boolean = false): DataFrame =
+    regexAll(pattern, caseSensitive)
+      .select($"docId", $"score", $"repo", $"path", $"lang")
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+
+  /** Unranked verified regex matches (docId, score, stored fields). */
+  def regexAll(pattern: String, caseSensitive: Boolean = false): DataFrame = {
     import graft.query.RegexPlanner
     val frag = RegexPlanner.plan(pattern)
     val grams = RegexPlanner.requiredGrams(frag).map("g:" + _).toSeq.sorted
@@ -166,16 +173,13 @@ class Searcher(@transient val spark: SparkSession, val indexRoot: String) {
         val ts = termStats(grams)
         if (ts.exists(_._2._1 == 0L)) // a required gram is absent: no matches
           return docs.select($"docId", lit(0f).as("score"),
-            $"repo", $"path", $"lang").limit(0)
+            $"repo", $"path", $"lang", $"content").limit(0)
         scoreAll(grams, ts.map { case (t, (_, w)) => t -> w },
           conjunctive = true).toDF()
       }
     val pat = if (caseSensitive) pattern else "(?i)" + pattern
     candidates.join(docs, "docId")
       .filter(regexp_like($"content", lit(pat)))
-      .select($"docId", $"score", $"repo", $"path", $"lang")
-      .orderBy($"score".desc, $"docId".asc)
-      .limit(k)
   }
 
   /** Hit materialization: fetch stored fields for the ≤k winners —

@@ -226,16 +226,27 @@ object IndexBuilder {
       lineEnds)
   }
 
-  /** Tokenize one doc into raw postings: code tokens with tf, plus distinct
-    * lowercase content trigrams as "g:" terms (regex prefilter — the analog
-    * of the reference's 1–3-gram index, SURVEY §2.3 T1/T2) and distinct
-    * path trigrams as "p:" terms (fuzzy path search, indexes/file.rs:234-351).
+  /** Tokenize one doc into raw postings. Namespaces (SURVEY §2.3):
+    *   - plain code tokens with tf (the BM25-scored `content` field);
+    *   - "g:" distinct lowercase content trigrams (regex prefilter — the
+    *     analog of the reference's 1–3-gram index, T1/T2);
+    *   - "p:" distinct path trigrams (fuzzy path search,
+    *     indexes/file.rs:234-351);
+    *   - "s:" symbol-definition tokens with tf (the `symbols` field,
+    *     indexes/file.rs:704-711, via the regex extractor — D5).
     */
   def tokenizeDoc(docId: Long, path: String, content: String, normId: Byte,
                   trigrams: Boolean): Iterator[RawPosting] = {
     val (tf, _) = CodeTokenizer.termFreqs(content)
     val toks = tf.iterator.map { case (t, f) => RawPosting(t, docId, f, normId) }
-    if (!trigrams) toks
+    val symTf = scala.collection.mutable.HashMap.empty[String, Int]
+    graft.tokenize.SymbolExtractor.symbolTerms(content).foreach { t =>
+      symTf.update(t, symTf.getOrElse(t, 0) + 1)
+    }
+    val syms = symTf.iterator.map { case (t, f) =>
+      RawPosting("s:" + t, docId, f, normId)
+    }
+    if (!trigrams) toks ++ syms
     else {
       val grams = scala.collection.mutable.HashSet.empty[String]
       val lc = content.toLowerCase
@@ -245,7 +256,7 @@ object IndexBuilder {
       while (i + 3 <= n) { grams += lc.substring(i, i + 3); i += 1 }
       val pGrams = scala.collection.mutable.HashSet.empty[String]
       CodeTokenizer.trigrams(path.toLowerCase).foreach(pGrams += _)
-      toks ++
+      toks ++ syms ++
         grams.iterator.map(g => RawPosting("g:" + g, docId, 1, normId)) ++
         pGrams.iterator.map(g => RawPosting("p:" + g, docId, 1, normId))
     }

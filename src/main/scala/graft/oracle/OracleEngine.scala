@@ -24,7 +24,8 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
 
   case class ODoc(docId: Long, repo: String, path: String, commit: String,
                   lang: String, content: String, tf: Map[String, Int],
-                  grams: Set[String], docLen: Int, normId: Byte)
+                  symTf: Map[String, Int], grams: Set[String], docLen: Int,
+                  normId: Byte)
 
   val docs: Vector[ODoc] = {
     val kept = rows.filter { case (_, _, _, _, c) =>
@@ -39,8 +40,12 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
         if (lc.nonEmpty && lc.length <= 3) g += lc
         var j = 0
         while (j + 3 <= lc.length) { g += lc.substring(j, j + 3); j += 1 }
-        ODoc(i + 1L, r, p, c, l, content, tf.toMap, g.toSet, docLen,
-          SmallFloat.intToByte4(docLen))
+        val sym = mutable.HashMap.empty[String, Int]
+        graft.tokenize.SymbolExtractor.symbolTerms(content).foreach { t =>
+          sym.update(t, sym.getOrElse(t, 0) + 1)
+        }
+        ODoc(i + 1L, r, p, c, l, content, tf.toMap, sym.toMap, g.toSet,
+          docLen, SmallFloat.intToByte4(docLen))
       }.toVector
   }
 
@@ -54,6 +59,12 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
   val df: Map[String, Long] = {
     val m = mutable.HashMap.empty[String, Long]
     docs.foreach(_.tf.keys.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1)))
+    m.toMap
+  }
+  /** symbol term → df ("s:" namespace) */
+  val symDf: Map[String, Long] = {
+    val m = mutable.HashMap.empty[String, Long]
+    docs.foreach(_.symTf.keys.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1)))
     m.toMap
   }
   /** content trigram → df */
@@ -106,20 +117,98 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
     topK(hits, k)
   }
 
-  /** Two-phase regex: trigram prefilter + exact verify, scored by BM25 over
-    * the plan's required grams (tf = 1, the distinct-gram convention) when
-    * the plan is conjunctive, else 0 — same spec as Searcher.searchRegex.
+  // ------------------------------------------------------- query language
+  /** Mirror of QueryExecutor.execute — same dispatch, same branch-union f32
+    * sum in branch order, same tie-break.
     */
-  def searchRegex(pattern: String, k: Int,
-                  caseSensitive: Boolean = false): Seq[(Long, Float)] = {
+  def executeQuery(input: String, k: Int): Seq[(Long, Float)] = {
+    import graft.query.QueryParser
+    import QueryParser.{ContentTarget, FlatQuery, QLit, SymbolTarget}
+    val branches = QueryParser.parse(input)
+    def metaPred(b: FlatQuery)(d: ODoc): Boolean = {
+      def sub(field: String, l: QLit): Boolean =
+        java.util.regex.Pattern.compile("(?i)" +
+            (if (l.isRegex) l.value
+             else java.util.regex.Pattern.quote(l.value.toLowerCase)))
+          .matcher(field.toLowerCase).find()
+      b.org.forall(sub(d.repo, _)) && b.repo.forall(sub(d.repo, _)) &&
+        b.path.forall(sub(d.path, _)) && b.lang.forall(_ == d.lang)
+    }
+    def branchHits(b: FlatQuery): Seq[(Long, Float)] = {
+      val caseSens = b.caseSensitive.getOrElse(false)
+      val scored: Seq[(Long, Float)] = b.target match {
+        case None => docs.map(d => (d.docId, 0f))
+        case Some(ContentTarget(l))
+            if l.isRegex || b.globalRegex.contains(true) =>
+          regexHitsAll(l.value, caseSens)
+        case Some(ContentTarget(l)) =>
+          val base = conjunctiveHits(
+            CodeTokenizer.tokenize(l.value).distinct.sorted.toSeq,
+            d => d.tf, df)
+          if (!caseSens) base
+          else {
+            val pat = java.util.regex.Pattern.compile(
+              java.util.regex.Pattern.quote(l.value))
+            base.filter { case (id, _) =>
+              pat.matcher(byId(id).content).find()
+            }
+          }
+        case Some(SymbolTarget(l)) =>
+          conjunctiveHits(
+            CodeTokenizer.tokenize(l.value).distinct.sorted.toSeq,
+            d => d.symTf, symDf)
+      }
+      scored.filter { case (id, _) => metaPred(b)(byId(id)) }
+    }
+    val perDoc = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Int, Float)]]
+    branches.zipWithIndex.foreach { case (b, i) =>
+      branchHits(b).foreach { case (id, s) =>
+        perDoc.getOrElseUpdate(id, mutable.ArrayBuffer.empty) += ((i, s))
+      }
+    }
+    val hits = perDoc.iterator.map { case (id, parts) =>
+      var s = 0f
+      parts.sortBy(_._1).foreach(p => s += p._2)
+      (id, s)
+    }.toSeq
+    topK(hits, k)
+  }
+
+  private def byId(id: Long): ODoc = docs((id - 1).toInt)
+
+  /** Conjunctive BM25 hits over a term map accessor (tf or symTf), all
+    * matching docs, score = f32 sum in ascending term order.
+    */
+  private def conjunctiveHits(terms: Seq[String],
+                              tfOf: ODoc => Map[String, Int],
+                              dfMap: Map[String, Long]): Seq[(Long, Float)] = {
+    if (terms.isEmpty) return Nil
+    if (terms.exists(t => dfMap.getOrElse(t, 0L) == 0L)) return Nil
+    val weights = terms.map(t => Bm25.weight(dfMap(t), n))
+    docs.flatMap { d =>
+      val tf = tfOf(d)
+      if (terms.forall(tf.contains)) {
+        var s = 0f
+        var i = 0
+        while (i < terms.length) {
+          s += Bm25.partial(weights(i), tf(terms(i)), normCache(d.normId & 0xff))
+          i += 1
+        }
+        Some(d.docId -> s)
+      } else None
+    }
+  }
+
+  /** Unranked two-phase regex hits (mirror of Searcher.regexAll). */
+  def regexHitsAll(pattern: String,
+                   caseSensitive: Boolean): Seq[(Long, Float)] = {
     val grams = RegexPlanner.requiredGrams(RegexPlanner.plan(pattern))
       .toSeq.sorted
-    val weights = grams.map(g => Bm25.weight(gramDf.getOrElse(g, 0L), n))
     if (grams.exists(g => gramDf.getOrElse(g, 0L) == 0L)) return Nil
+    val weights = grams.map(g => Bm25.weight(gramDf.getOrElse(g, 0L), n))
     val re = java.util.regex.Pattern.compile(
-      if (caseSensitive) pattern
-      else "(?i)" + pattern)
-    val hits = docs.flatMap { d =>
+      if (caseSensitive) pattern else "(?i)" + pattern)
+    docs.flatMap { d =>
       if (grams.forall(d.grams.contains) && re.matcher(d.content).find()) {
         var s = 0f
         var i = 0
@@ -130,6 +219,13 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
         Some(d.docId -> s)
       } else None
     }
-    topK(hits, k)
   }
+
+  /** Two-phase regex: trigram prefilter + exact verify, scored by BM25 over
+    * the plan's required grams (tf = 1, the distinct-gram convention) —
+    * same spec as Searcher.searchRegex.
+    */
+  def searchRegex(pattern: String, k: Int,
+                  caseSensitive: Boolean = false): Seq[(Long, Float)] =
+    topK(regexHitsAll(pattern, caseSensitive), k)
 }

@@ -172,6 +172,15 @@ object RegexPlanner {
         case 'n' => Lit("\n")
         case 't' => Lit("\t")
         case 'r' => Lit("\r")
+        case 'Q' => // \Q…\E quotation (java.util.regex / Pattern.quote)
+          val sb = new StringBuilder
+          var done = false
+          while (!p.eof && !done) {
+            val c = p.next()
+            if (c == '\\' && !p.eof && p.peek == 'E') { p.next(); done = true }
+            else sb.append(c)
+          }
+          Lit(sb.toString)
         case 'b' | 'B' | 'w' | 'W' | 'd' | 'D' | 's' | 'S' | 'A' | 'z' => Break
         case c => Lit(c.toString)
       }

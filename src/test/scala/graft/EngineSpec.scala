@@ -77,7 +77,8 @@ class EngineSpec extends AnyFunSuite {
 
   test("dict df matches oracle df (token namespace)") {
     val engineDf = searcher.dict
-      .filter(!$"term".startsWith("g:") && !$"term".startsWith("p:"))
+      .filter(!$"term".startsWith("g:") && !$"term".startsWith("p:") &&
+        !$"term".startsWith("s:"))
       .collect().map(d => d.term -> d.df).toMap
     assert(engineDf == oracle.df)
   }

@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusGen
+import graft.engine.{FuzzyPath, QueryExecutor, Searcher, Snippets}
+import graft.index.IndexBuilder
+import graft.oracle.OracleEngine
+import graft.tokenize.SymbolExtractor
+
+/** Rank identity for the full query LANGUAGE (FIXTURES.md §3 composed
+  * queries) — engine QueryExecutor vs oracle executeQuery — plus snippet,
+  * symbol and fuzzy-path behavior.
+  */
+class QueryExecutorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val corpus = CorpusGen.synth(spark, 10, 18, seed = 7L).cache()
+  lazy val oracle = new OracleEngine(
+    corpus.select("repo", "path", "commit", "lang", "content").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq)
+  lazy val searcher: Searcher = {
+    val root = TestSpark.tempDir("qexec")
+    new IndexBuilder(spark, root, bucketSize = 64, numPartitions = 3)
+      .build(corpus)
+    new Searcher(spark, root)
+  }
+  lazy val exec = new QueryExecutor(searcher)
+
+  // FIXTURES §3 composed queries adapted to the synthetic corpus's own
+  // repos/langs (org0..org9 / repo0.. / rust,go,python...)
+  val querySet = Seq(
+    "parse",
+    "content:parse",
+    "repo:repo1 lang:rust parse",
+    "(repo:repo1 or repo:repo2) (lang:rust or lang:go) index",
+    "org:org3 return",
+    "case:sensitive Index",
+    "case:ignore index",
+    "symbol:read",
+    "path:mod1 if",
+    "repo:repo4",
+    "lang:python",
+    "import or return",
+    "/par.e/",
+    "global_regex:true index.*query",
+    "org:doesnotexist parse",
+    "if return", // multi-word → fused phrase regex (parser.rs:104-112)
+    "lang:rust parse index")
+
+  for (q <- querySet; k <- Seq(10, 50)) {
+    test(s"query language rank identity: '$q' k=$k") {
+      val got = exec.execute(q, k).collect()
+        .map(h => (h.docId, h.score)).toSeq.sortBy { case (d, s) => (-s, d) }
+      val want = oracle.executeQuery(q, k)
+      assert(got == want, s"\nengine: ${got.take(8)}\noracle: ${want.take(8)}")
+    }
+  }
+
+  test("symbol extractor finds definition names") {
+    val names = SymbolExtractor.symbolNames(
+      "fn parseToken(x) { }\nclass HttpServer extends Base\nlet counter = 1")
+    assert(names == Seq("parseToken", "HttpServer", "counter"))
+    assert(SymbolExtractor.symbolTerms("fn parseToken()") ==
+      Seq("parse", "token"))
+  }
+
+  test("snippets: match expansion, merge, highlights (snippet.rs semantics)") {
+    val content = "line one\nline two match here\nline three\nline four\nmatch again\nlast line\n"
+    val lineEnds = {
+      val b = scala.collection.mutable.ArrayBuilder.make[Int]
+      content.zipWithIndex.foreach { case (c, i) => if (c == '\n') b += i }
+      b.result()
+    }
+    val snips = Snippets.forDoc(content, lineEnds, "match", context = 1)
+    assert(snips.size == 2)
+    assert(snips.head.lineStart == 0 && snips.head.lineEnd == 2)
+    assert(snips.head.data.contains("line two match here"))
+    val hl = snips.head.highlights.head
+    assert(snips.head.data.substring(hl._1, hl._2) == "match")
+    assert(snips(1).lineStart == 3 && snips(1).lineEnd == 5)
+    // adjacent/overlapping windows merge
+    val merged = Snippets.forDoc(content, lineEnds, "line", context = 1)
+    assert(merged.size == 1)
+    assert(merged.head.highlights.size >= 5)
+  }
+
+  test("snippet highlight on short strings") {
+    assert(Snippets.highlight("src/parser/mod.rs", "parse") == Seq((4, 9)))
+    assert(Snippets.highlight("AbcAbc", "abc") == Seq((0, 3), (3, 6)))
+  }
+
+  test("fuzzy path search returns subsequence-matching paths ranked") {
+    val res = FuzzyPath.search(searcher, "mod1", 10)
+    assert(res.nonEmpty)
+    assert(res.forall { case (_, p, _, _) =>
+      FuzzyPath.score(p, "mod1").isDefined
+    })
+    // scores are non-increasing with docId tiebreak
+    val scores = res.map(_._4)
+    assert(scores == scores.sorted(Ordering[Int].reverse))
+    // exact-substring basename beats scattered subsequence
+    val a = FuzzyPath.score("src/mod1/file.rs", "mod1").get
+    val b = FuzzyPath.score("src/m/o/d/1/x.rs", "mod1").get
+    assert(a > b)
+  }
+
+  test("metadata-only query lists filtered docs with score 0") {
+    val got = exec.execute("repo:repo1 lang:rust", 1000).collect()
+    assert(got.forall(_.score == 0f))
+    val wantIds = oracle.docs.filter(d =>
+      d.repo.toLowerCase.contains("repo1") && d.lang == "rust").map(_.docId).toSet
+    assert(got.map(_.docId).toSet == wantIds)
+  }
+}

@@ -81,6 +81,12 @@ class RegexPlannerSpec extends AnyFunSuite {
     assert(plan("[^x]") == Break)
   }
 
+  test("\\Q…\\E quotation (fused content targets, parser.rs:104-112)") {
+    val f = plan("\\Qmerge\\E\\s+\\Qjoin\\E")
+    assert(f == And(Vector(Lit("merge"), Break, Lit("join"))))
+    assert(requiredGrams(f) == Set("mer", "erg", "rge", "joi", "oin"))
+  }
+
   test("anchors and escapes") {
     assert(requiredGrams(plan("^abc$")) == Set("abc"))
     assert(plan("a\\.b") == Lit("a.b"))
