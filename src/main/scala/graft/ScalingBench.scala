@@ -15,7 +15,29 @@ import graft.index.IndexBuilder
   */
 object ScalingBench {
 
-  def runAt(cores: Int, nRepos: Int, filesPerRepo: Int): (Double, Long) = {
+  val CorpusPath = "/tmp/graft-scaling-corpus"
+
+  /** Materialize the synthetic corpus once (untimed): the metric is INDEX
+    * throughput over an existing table, not generator throughput. Both
+    * parallelism levels then read the identical parquet bytes.
+    */
+  def materializeCorpus(nRepos: Int, filesPerRepo: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scaling-gen")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      Bench.freshDir(CorpusPath)
+      CorpusGen.synth(spark, nRepos, filesPerRepo, seed = 42L,
+        partitions = 64)
+        .write.mode("overwrite").parquet(CorpusPath)
+    } finally spark.stop()
+  }
+
+  def runAt(cores: Int): Double = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
@@ -25,24 +47,27 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val corpus = CorpusGen.synth(spark, nRepos, filesPerRepo, seed = 42L,
-        partitions = cores * 2)
-      val n = nRepos.toLong * filesPerRepo
+      val corpus = spark.read.parquet(CorpusPath)
       val root = Bench.freshDir(s"/tmp/graft-scaling-idx-$cores")
-      val (_, t) = Bench.timed {
-        new IndexBuilder(spark, root, bucketSize = 4096,
-          numPartitions = cores * 2).build(corpus)
-      }
-      (t, n)
+      val b = new IndexBuilder(spark, root, bucketSize = 4096,
+        numPartitions = cores * 2)
+      val (_, tDocs) = Bench.timed(b.buildDocs(corpus))
+      val (_, tPost) = Bench.timed(b.buildPostings(corpus))
+      val (_, tDict) = Bench.timed(b.buildDict())
+      System.err.println(
+        f"[scaling] cores=$cores docs=$tDocs%.2fs postings=$tPost%.2fs dict=$tDict%.2fs")
+      tDocs + tPost + tDict
     } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
-    val nRepos = if (args.length > 0) args(0).toInt else 60
-    val filesPerRepo = if (args.length > 1) args(1).toInt else 150
+    val nRepos = if (args.length > 0) args(0).toInt else 150
+    val filesPerRepo = if (args.length > 1) args(1).toInt else 400
+    val n = nRepos.toLong * filesPerRepo
+    materializeCorpus(nRepos, filesPerRepo)
     // N first, then 4N — separate SparkContexts, identical input
-    val (t8, n) = runAt(8, nRepos, filesPerRepo)
-    val (t32, _) = runAt(32, nRepos, filesPerRepo)
+    val t8 = runAt(8)
+    val t32 = runAt(32)
     val fps8 = n / t8
     val fps32 = n / t32
     val eff = (t8 / t32) / (32.0 / 8.0)

@@ -19,6 +19,13 @@ case class IdRow(docId: Long, repo: String, path: String,
 private case class TokBucket(term: String, docId: Long, tf: Int,
                              normId: Byte, bucket: Int)
 
+private case class SlimDoc(docId: Long, path: String, content: String,
+                           normId: Byte)
+
+private case class KeyedRow(bucket: Int, docKey: String, repo: String,
+                            path: String, commit: String, lang: String,
+                            content: String, contentSha: String)
+
 /** Distributed inverted-index builder (SURVEY §3.2 Spark shape):
   *
   *   corpus → filter (reference indexability limits)
@@ -65,37 +72,62 @@ class IndexBuilder(
   private def done(path: String): Boolean =
     new java.io.File(s"$path/_SUCCESS").exists()
 
-  /** Deterministic 1-based docId = global rank in (repo, path, commit)
-    * order (FIXTURES.md §2). Scalable two-pass rank: range-partition +
-    * in-partition sort, count rows per partition (metadata-sized job),
-    * broadcast prefix offsets, tag rows in a narrow mapPartitions. The
-    * result is partitioning-invariant because rank in a total order does
-    * not depend on where the range boundaries fall.
+  /** Deterministic 1-based docId = global rank of the document key
+    * docKey = sha256(repo ∥ '\0' ∥ path ∥ '\0' ∥ commit), ascending.
+    *
+    * Why a hashed key instead of raw (repo, path, commit) order: a raw-key
+    * global sort needs `repartitionByRange`, whose boundaries come from
+    * SAMPLING seeded by the physical RDD id — two actions over the same
+    * Dataset can place rows differently, which broke rank assignment at
+    * 9k docs (duplicate ids). The sha key's uniform distribution gives
+    * FIXED range boundaries by construction (bucket = keyPrefix·P / 2^32):
+    * no sampling job, no nondeterminism, and perfectly balanced partitions
+    * at any scale. The dedup/delete handle of the reference is likewise a
+    * content-addressed hash (unique_hash, indexes/file.rs:56-87).
+    *
+    * Two metadata-light jobs: (1) count per fixed bucket → prefix offsets;
+    * (2) shuffle on bucket + in-partition sort by (bucket, docKey) + narrow
+    * rank tagging. Rank is partitioning-invariant because buckets are pure
+    * functions of the key.
     */
   def withDocIds(corpus: DataFrame): Dataset[IdRow] = {
     val withSha =
       if (corpus.columns.contains("contentSha")) corpus
       else corpus.withColumn("contentSha", sha2($"content", 256))
+    val p = P
     val keyed = withSha
-      .select("repo", "path", "commit", "lang", "content", "contentSha")
-      .as[CorpusRow]
-      .repartitionByRange(P, $"repo", $"path", $"commit")
-      .sortWithinPartitions("repo", "path", "commit")
-    val counts = keyed.groupBy(spark_partition_id().as("pid")).count()
+      .withColumn("docKey",
+        sha2(concat_ws("\u0000", $"repo", $"path", $"commit"), 256))
+      .withColumn("bucket",
+        ((conv(substring($"docKey", 1, 8), 16, 10).cast("long") * p) /
+          4294967296L).cast("int"))
+      .select($"bucket", $"docKey", $"repo", $"path", $"commit", $"lang",
+        $"content", $"contentSha")
+      .as[KeyedRow]
+    val counts = keyed.groupBy("bucket").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = new Array[Long](P + 1)
+    val offsets = new Array[Long](p + 1)
     var acc = 0L
-    (0 until P).foreach { pid =>
-      offsets(pid) = acc; acc += counts.getOrElse(pid, 0L)
+    (0 until p).foreach { b =>
+      offsets(b) = acc; acc += counts.getOrElse(b, 0L)
     }
     val bOffsets = spark.sparkContext.broadcast(offsets)
-    keyed.mapPartitions { it =>
-      var next = bOffsets.value(TaskContext.getPartitionId())
-      it.map { r =>
-        next += 1
-        IdRow(next, r.repo, r.path, r.commit, r.lang, r.content, r.contentSha)
+    keyed
+      .repartition(p, $"bucket")
+      .sortWithinPartitions("bucket", "docKey")
+      .mapPartitions { it =>
+        // a hash partition may hold several buckets; they arrive contiguous
+        var curBucket = -1
+        var next = 0L
+        it.map { r =>
+          if (r.bucket != curBucket) {
+            curBucket = r.bucket
+            next = bOffsets.value(r.bucket)
+          }
+          next += 1
+          IdRow(next, r.repo, r.path, r.commit, r.lang, r.content, r.contentSha)
+        }
       }
-    }
   }
 
   // ---------------------------------------------------------------------
@@ -138,16 +170,20 @@ class IndexBuilder(
     val bs = bucketSize
     val trig = includeTrigrams
     val lin = newLineageAcc()
+    // Source from the docs stage output: docIds, normIds and the
+    // indexability filter are already materialized there — one corpus
+    // pass and one tokenization fewer than re-deriving from the raw input.
     val raw: Dataset[TokBucket] =
-      withDocIds(filterIndexable(corpus)).mapPartitions { it =>
-        it.flatMap { r =>
-          val docLen = CodeTokenizer.tokenize(r.content).length
-          tokenizeDoc(r.docId, r.path, r.content,
-            SmallFloat.intToByte4(docLen), trig)
-            .map(p => TokBucket(p.term, p.docId, p.tf, p.normId,
-              ((p.docId - 1) / bs).toInt))
+      spark.read.parquet(docsPath)
+        .select("docId", "path", "content", "normId")
+        .as[SlimDoc]
+        .mapPartitions { it =>
+          it.flatMap { d =>
+            tokenizeDoc(d.docId, d.path, d.content, d.normId, trig)
+              .map(p => TokBucket(p.term, p.docId, p.tf, p.normId,
+                ((p.docId - 1) / bs).toInt))
+          }
         }
-      }
     val runs = raw
       .repartition(P, $"term", $"bucket")
       .sortWithinPartitions($"term", $"bucket", $"docId")

@@ -32,7 +32,11 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
       c.getBytes("UTF-8").length <= 600000 &&
         (c.split("\n", -1).length <= 20001)
     }
-    kept.sortBy { case (r, p, c, _, _) => (r, p, c) }
+    // docId = rank of docKey = sha256(repo ∥ '\0' ∥ path ∥ '\0' ∥ commit)
+    // — must mirror IndexBuilder.withDocIds exactly
+    kept.sortBy { case (r, p, c, _, _) =>
+      graft.corpus.CorpusGen.sha256Hex(r + "\u0000" + p + "\u0000" + c)
+    }
       .zipWithIndex.map { case ((r, p, c, l, content), i) =>
         val (tf, docLen) = CodeTokenizer.termFreqs(content)
         val lc = content.toLowerCase

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusGen
+import graft.engine.Searcher
+import graft.index.IndexBuilder
+
+/** Physical-plan assertions (the ".explain and iterate" discipline): the
+  * scale properties claimed in the scaladocs must be visible in the plans —
+  * term predicate pushed to the parquet scan, stored columns pruned, top-k
+  * as TakeOrderedAndProject, tiny sides broadcast.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val searcher: Searcher = {
+    val root = TestSpark.tempDir("plan")
+    new IndexBuilder(spark, root, bucketSize = 64, numPartitions = 3)
+      .build(CorpusGen.synth(spark, 6, 15, seed = 3L))
+    new Searcher(spark, root)
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("term lookup pushes In(term) into the parquet scan") {
+    val plan = planOf(searcher.postings
+      .filter($"term".isin("parse", "index")).toDF())
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("In(term"), plan.take(2000))
+  }
+
+  test("postings scan for a query prunes the blocks of other terms via " +
+       "min/max (sorted by term at write)") {
+    // can't read row-group stats here, but the scan must at least not
+    // require columns beyond the PostingRun schema and keep the filter
+    val df = searcher.postings.filter($"term" === "if").toDF()
+    val plan = planOf(df)
+    assert(plan.contains("EqualTo(term,if)") || plan.contains("IsNotNull(term)"),
+      plan.take(2000))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (per-partition heaps)") {
+    val hits = searcher.searchLiteral("parse", 10, useWand = false)
+    val plan = planOf(hits.toDF())
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("hit materialization broadcasts the k-row side") {
+    val hits = searcher.searchLiteral("parse", 5)
+    val plan = planOf(searcher.materialize(hits))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("docs metadata query prunes the content column") {
+    val df = searcher.docs.select("docId", "lang")
+      .filter($"lang" === "rust")
+    val plan = planOf(df)
+    assert(plan.contains("ReadSchema"))
+    val readSchema = plan.split("ReadSchema:")(1).split("\n")(0)
+    assert(!readSchema.contains("content"),
+      s"content must be pruned from metadata scans: $readSchema")
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(lang,rust)"))
+  }
+
+  test("whole-stage codegen covers the filter/project pipeline") {
+    val df = searcher.docs.select("docId", "lang", "docLen")
+      .filter($"docLen" > 10)
+    // toString marks codegen stages with a "*(n)" prefix
+    assert(planOf(df).contains("*("), planOf(df).take(1500))
+  }
+}
