@@ -6,94 +6,122 @@ import graft.corpus.CorpusGen
 import graft.index.IndexBuilder
 
 /** N-vs-4N scaling evidence (BASELINE.json north_rule; sandbox stand-in per
-  * driver instruction): run the SAME index build at local[8] and local[32]
-  * on the SAME deterministic synthetic corpus, report files/sec at both and
-  * the scaling efficiency eff = (T_8 / T_32) / (32/8). Writes/updates
-  * `BENCH/BASELINE.md`.
+  * driver instruction): the SAME index build at local[8] and local[32] over
+  * the SAME materialized parquet corpus, each measurement in its own JVM
+  * (same-JVM back-to-back runs showed 10× noise from GC/JIT state carried
+  * between SparkContexts). Reports files/sec at both levels and
+  * eff = (T_8 / T_32) / (32/8) into `BENCH/BASELINE.md`.
   *
-  * Usage: runMain graft.ScalingBench [nRepos] [filesPerRepo]
+  * Usage (each line a separate JVM):
+  *   runMain graft.ScalingBench gen <nRepos> <filesPerRepo>
+  *   runMain graft.ScalingBench run 8
+  *   runMain graft.ScalingBench run 32
+  *   runMain graft.ScalingBench report
   */
 object ScalingBench {
 
   val CorpusPath = "/tmp/graft-scaling-corpus"
+  private def resultPath(cores: Int) = s"/tmp/graft-scaling-t$cores.txt"
 
-  /** Materialize the synthetic corpus once (untimed): the metric is INDEX
-    * throughput over an existing table, not generator throughput. Both
-    * parallelism levels then read the identical parquet bytes.
-    */
-  def materializeCorpus(nRepos: Int, filesPerRepo: Int): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .appName("graft-scaling-gen")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  def gen(nRepos: Int, filesPerRepo: Int): Unit = {
+    val spark = session(32, "graft-scaling-gen")
     try {
       Bench.freshDir(CorpusPath)
-      CorpusGen.synth(spark, nRepos, filesPerRepo, seed = 42L,
-        partitions = 64)
+      CorpusGen.synth(spark, nRepos, filesPerRepo, seed = 42L, partitions = 64)
         .write.mode("overwrite").parquet(CorpusPath)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$CorpusPath.count"),
+        (nRepos.toLong * filesPerRepo).toString)
     } finally spark.stop()
   }
 
-  def runAt(cores: Int): Double = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  def run(cores: Int): Unit = {
+    val spark = session(cores, s"graft-scaling-$cores")
     try {
       val corpus = spark.read.parquet(CorpusPath)
+      // untimed warm-up on a small slice: JIT + codegen + classloading are
+      // per-JVM one-time costs, not part of indexing throughput
+      val warmRoot = Bench.freshDir(s"/tmp/graft-scaling-warm-$cores")
+      new IndexBuilder(spark, warmRoot, bucketSize = 4096, numPartitions = 8)
+        .build(corpus.limit(2000))
       val root = Bench.freshDir(s"/tmp/graft-scaling-idx-$cores")
+      // fixed partition count at BOTH levels: granular tasks amortize skew
+      // (a 2-wave schedule lets the slowest task set the wall clock) and
+      // make N vs 4N a pure parallelism comparison
       val b = new IndexBuilder(spark, root, bucketSize = 4096,
-        numPartitions = cores * 2)
+        includeTrigrams = !sys.env.contains("GRAFT_NO_TRIGRAMS"),
+        numPartitions = 128)
       val (_, tDocs) = Bench.timed(b.buildDocs(corpus))
       val (_, tPost) = Bench.timed(b.buildPostings(corpus))
       val (_, tDict) = Bench.timed(b.buildDict())
+      val t = tDocs + tPost + tDict
       System.err.println(
-        f"[scaling] cores=$cores docs=$tDocs%.2fs postings=$tPost%.2fs dict=$tDict%.2fs")
-      tDocs + tPost + tDict
+        f"[scaling] cores=$cores docs=$tDocs%.2fs postings=$tPost%.2fs dict=$tDict%.2fs total=$t%.2fs")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(resultPath(cores)),
+        f"$t%.4f $tDocs%.4f $tPost%.4f $tDict%.4f")
     } finally spark.stop()
   }
 
-  def main(args: Array[String]): Unit = {
-    val nRepos = if (args.length > 0) args(0).toInt else 150
-    val filesPerRepo = if (args.length > 1) args(1).toInt else 400
-    val n = nRepos.toLong * filesPerRepo
-    materializeCorpus(nRepos, filesPerRepo)
-    // N first, then 4N — separate SparkContexts, identical input
-    val t8 = runAt(8)
-    val t32 = runAt(32)
+  def report(cN: Int, c4N: Int): Unit = {
+    val n = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$CorpusPath.count")).trim.toLong
+    def read(c: Int) = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(resultPath(c))).trim.split(" ").map(_.toDouble)
+    val r8 = read(cN)
+    val r32 = read(c4N)
+    val (t8, t32) = (r8(0), r32(0))
     val fps8 = n / t8
     val fps32 = n / t32
-    val eff = (t8 / t32) / (32.0 / 8.0)
+    val eff = (t8 / t32) / (c4N.toDouble / cN)
     val json =
       s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio",""" +
-      s""""files":$n,"t_local8_sec":${f"$t8%.2f"},"t_local32_sec":${f"$t32%.2f"},""" +
-      s""""files_per_sec_8":${f"$fps8%.1f"},"files_per_sec_32":${f"$fps32%.1f"}}"""
+      s""""files":$n,"cores_n":$cN,"cores_4n":$c4N,""" +
+      s""""t_n_sec":${f"$t8%.2f"},"t_4n_sec":${f"$t32%.2f"},""" +
+      s""""files_per_sec_n":${f"$fps8%.1f"},"files_per_sec_4n":${f"$fps32%.1f"}}"""
     println(json)
     val md =
       s"""## Measured scaling (ScalingBench, synthetic corpus seed=42, $n files)
          |
-         || parallelism | wall s | files/sec |
-         ||---|---|---|
-         || local[8]  (N)  | ${f"$t8%.2f"} | ${f"$fps8%.1f"} |
-         || local[32] (4N) | ${f"$t32%.2f"} | ${f"$fps32%.1f"} |
+         |One JVM per measurement (`sbt "runMain graft.ScalingBench run <cores>"`),
+         |identical parquet input, fixed seed.
+         |
+         || parallelism | wall s | docs s | postings s | dict s | files/sec |
+         ||---|---|---|---|---|---|
+         || local[$cN]  (N)  | ${f"$t8%.2f"} | ${f"${r8(1)}%.2f"} | ${f"${r8(2)}%.2f"} | ${f"${r8(3)}%.2f"} | ${f"$fps8%.1f"} |
+         || local[$c4N] (4N) | ${f"$t32%.2f"} | ${f"${r32(1)}%.2f"} | ${f"${r32(2)}%.2f"} | ${f"${r32(3)}%.2f"} | ${f"$fps32%.1f"} |
          |
          |scaling efficiency (N→4N) = (T_N / T_4N) / 4 = **${f"$eff%.3f"}**
-         |(target ≥ 0.8, BASELINE.json north_rule; same input, same seed,
-         |rank-identity of query results across parallelism is enforced
-         |separately by EngineSpec "parallelism invariance")
+         |(target ≥ 0.8, BASELINE.json north_rule; rank-identity of query
+         |results across parallelism is enforced separately by EngineSpec
+         |"parallelism invariance")
          |""".stripMargin
-    val dir = new java.io.File("BENCH")
-    dir.mkdirs()
+    new java.io.File("BENCH").mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH/BASELINE.md"), md)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH/scaling.json"), json + "\n")
+  }
+
+  private def session(cores: Int, name: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "gen" :: nr :: fpr :: Nil => gen(nr.toInt, fpr.toInt)
+    case "run" :: cores :: Nil => run(cores.toInt)
+    case "report" :: Nil => report(8, 32)
+    case "report" :: a :: b :: Nil => report(a.toInt, b.toInt)
+    case _ =>
+      System.err.println(
+        "usage: gen <nRepos> <filesPerRepo> | run <cores> | report")
   }
 }

@@ -56,7 +56,7 @@ object FuzzyPath {
     */
   def search(searcher: Searcher, query: String, k: Int): Seq[(Long, String, String, Int)] = {
     import searcher.spark.implicits._
-    val grams = CodeTokenizer.trigrams(query.toLowerCase).distinct
+    val grams = CodeTokenizer.distinctTrigrams(query)
       .map("p:" + _).toSeq
     if (grams.isEmpty) return Nil
     val candidates = searcher.postings

@@ -273,8 +273,9 @@ object IndexBuilder {
     */
   def tokenizeDoc(docId: Long, path: String, content: String, normId: Byte,
                   trigrams: Boolean): Iterator[RawPosting] = {
-    val (tf, _) = CodeTokenizer.termFreqs(content)
-    val toks = tf.iterator.map { case (t, f) => RawPosting(t, docId, f, normId) }
+    val (terms, counts, _) = CodeTokenizer.termFreqArrays(content)
+    val toks = terms.indices.iterator.map(i =>
+      RawPosting(terms(i), docId, counts(i), normId))
     val symTf = scala.collection.mutable.HashMap.empty[String, Int]
     graft.tokenize.SymbolExtractor.symbolTerms(content).foreach { t =>
       symTf.update(t, symTf.getOrElse(t, 0) + 1)
@@ -284,17 +285,12 @@ object IndexBuilder {
     }
     if (!trigrams) toks ++ syms
     else {
-      val grams = scala.collection.mutable.HashSet.empty[String]
-      val lc = content.toLowerCase
-      val n = lc.length
-      if (n <= 3 && n > 0) grams += lc
-      var i = 0
-      while (i + 3 <= n) { grams += lc.substring(i, i + 3); i += 1 }
-      val pGrams = scala.collection.mutable.HashSet.empty[String]
-      CodeTokenizer.trigrams(path.toLowerCase).foreach(pGrams += _)
+      // allocation-light distinct trigrams (the map-side scaling hot spot)
+      val grams = CodeTokenizer.distinctTrigrams(content, "g:")
+      val pGrams = CodeTokenizer.distinctTrigrams(path, "p:")
       toks ++ syms ++
-        grams.iterator.map(g => RawPosting("g:" + g, docId, 1, normId)) ++
-        pGrams.iterator.map(g => RawPosting("p:" + g, docId, 1, normId))
+        grams.iterator.map(g => RawPosting(g, docId, 1, normId)) ++
+        pGrams.iterator.map(g => RawPosting(g, docId, 1, normId))
     }
   }
 

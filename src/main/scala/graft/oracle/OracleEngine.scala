@@ -39,16 +39,12 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
     }
       .zipWithIndex.map { case ((r, p, c, l, content), i) =>
         val (tf, docLen) = CodeTokenizer.termFreqs(content)
-        val lc = content.toLowerCase
-        val g = mutable.HashSet.empty[String]
-        if (lc.nonEmpty && lc.length <= 3) g += lc
-        var j = 0
-        while (j + 3 <= lc.length) { g += lc.substring(j, j + 3); j += 1 }
+        val g = CodeTokenizer.distinctTrigrams(content).toSet
         val sym = mutable.HashMap.empty[String, Int]
         graft.tokenize.SymbolExtractor.symbolTerms(content).foreach { t =>
           sym.update(t, sym.getOrElse(t, 0) + 1)
         }
-        ODoc(i + 1L, r, p, c, l, content, tf.toMap, sym.toMap, g.toSet,
+        ODoc(i + 1L, r, p, c, l, content, tf.toMap, sym.toMap, g,
           docLen, SmallFloat.intToByte4(docLen))
       }.toVector
   }

@@ -236,9 +236,8 @@ object RegexPlanner {
     */
   def requiredGrams(f: Fragment): Set[String] = f match {
     case Lit(s) =>
-      val lc = s.toLowerCase
-      if (lc.length < 3) Set.empty
-      else CodeTokenizer.trigrams(lc).toSet
+      if (s.length < 3) Set.empty
+      else CodeTokenizer.distinctTrigrams(s).toSet
     case And(cs) => cs.map(requiredGrams).reduce(_ union _)
     case Or(cs) =>
       val sets = cs.map(requiredGrams)

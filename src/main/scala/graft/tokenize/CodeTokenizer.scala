@@ -46,21 +46,96 @@ object CodeTokenizer {
     out.toArray
   }
 
+  /** Term frequencies as parallel arrays (terms sorted ascending, counts
+    * aligned) plus the document length. Sort-and-count instead of a boxed
+    * HashMap: the postings map side runs this per document at full core
+    * count, where allocation rate — not CPU — was the measured scaling
+    * limiter (see ScalingBench history).
+    */
+  def termFreqArrays(s: String): (Array[String], Array[Int], Int) = {
+    val toks = tokenize(s)
+    val len = toks.length
+    if (len == 0) return (Array.empty, Array.empty, 0)
+    java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]])
+    val terms = new Array[String](len)
+    val counts = new Array[Int](len)
+    var n = 0
+    var i = 0
+    while (i < len) {
+      var j = i + 1
+      while (j < len && toks(j) == toks(i)) j += 1
+      terms(n) = toks(i)
+      counts(n) = j - i
+      n += 1
+      i = j
+    }
+    (java.util.Arrays.copyOf(terms, n), java.util.Arrays.copyOf(counts, n), len)
+  }
+
   /** Term-frequency map of one document's tokens plus the document length
-    * (total token count). Deterministic: iteration order is normalized by
-    * the caller (postings are keyed and sorted by term downstream).
+    * (total token count). Convenience wrapper over termFreqArrays.
     */
   def termFreqs(s: String): (mutable.HashMap[String, Int], Int) = {
+    val (terms, counts, len) = termFreqArrays(s)
     val tf = mutable.HashMap.empty[String, Int]
-    var len = 0
-    val toks = tokenize(s)
     var i = 0
-    while (i < toks.length) {
-      tf.update(toks(i), tf.getOrElse(toks(i), 0) + 1)
-      len += 1
+    while (i < terms.length) { tf.update(terms(i), counts(i)); i += 1 }
+    (tf, len)
+  }
+
+  /** Locale-free per-char lowercase (ASCII fast path). Shared by engine AND
+    * oracle so gram normalization is one spec (slightly differs from
+    * String.toLowerCase on multi-char mappings like ß — documented).
+    */
+  @inline def lowerChar(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else Character.toLowerCase(c)
+
+  /** Distinct trigrams of the lowercased string, allocation-light: windows
+    * are deduplicated as packed 48-bit longs (3 UTF-16 chars) in an open
+    * -addressing long set; only the distinct survivors materialize as
+    * Strings. Strings ≤3 chars yield themselves (lowercased) — reference
+    * trigrams() semantics (query/compiler.rs:217-229).
+    */
+  def distinctTrigrams(s: String): Array[String] =
+    distinctTrigrams(s, "")
+
+  /** As above, with each gram string built directly as `prefix + gram`
+    * (posting-namespace strings like "g:abc" without a second concat pass).
+    */
+  def distinctTrigrams(s: String, prefix: String): Array[String] = {
+    val n = s.length
+    val pl = prefix.length
+    if (n == 0) return Array.empty
+    if (n <= 3) {
+      val b = new Array[Char](pl + n)
+      prefix.getChars(0, pl, b, 0)
+      var i = 0
+      while (i < n) { b(pl + i) = lowerChar(s.charAt(i)); i += 1 }
+      return Array(new String(b))
+    }
+    val set = new LongSet(math.min(1 << 16, Integer.highestOneBit(n) * 4))
+    var c0 = lowerChar(s.charAt(0))
+    var c1 = lowerChar(s.charAt(1))
+    var i = 2
+    while (i < n) {
+      val c2 = lowerChar(s.charAt(i))
+      set.add((c0.toLong << 32) | (c1.toLong << 16) | c2.toLong)
+      c0 = c1
+      c1 = c2
       i += 1
     }
-    (tf, len)
+    val out = new Array[String](set.size)
+    var k = 0
+    set.foreach { packed =>
+      val b = new Array[Char](pl + 3)
+      prefix.getChars(0, pl, b, 0)
+      b(pl) = ((packed >>> 32) & 0xffff).toChar
+      b(pl + 1) = ((packed >>> 16) & 0xffff).toChar
+      b(pl + 2) = (packed & 0xffff).toChar
+      out(k) = new String(b)
+      k += 1
+    }
+    out
   }
 
   @inline private def isWordChar(c: Char): Boolean =
@@ -80,7 +155,12 @@ object CodeTokenizer {
           s.charAt(i) == '_' ||
           (i > segStart && isCamelBoundary(s, i, until))
       if (boundary) {
-        if (i > segStart) out += s.substring(segStart, i).toLowerCase
+        if (i > segStart) {
+          val b = new Array[Char](i - segStart)
+          var k = segStart
+          while (k < i) { b(k - segStart) = lowerChar(s.charAt(k)); k += 1 }
+          out += new String(b)
+        }
         segStart = if (i < until && s.charAt(i) == '_') i + 1 else i
         if (i < until && s.charAt(i) == '_') { i += 1 } else i += 1
       } else i += 1
@@ -108,6 +188,43 @@ object CodeTokenizer {
     val cps = s.toCharArray // char-based like the reference's chars() windows
     if (cps.length <= 3) Array(s)
     else Array.tabulate(cps.length - 2)(i => new String(cps, i, 3))
+  }
+
+  /** Minimal open-addressing set of longs (power-of-two capacity, linear
+    * probing, 0 reserved as the empty marker — packed trigram codes are
+    * never 0 since chars ≥ 0x20). No boxing, no per-entry allocation.
+    */
+  final class LongSet(initialCapacity: Int) {
+    private var cap = math.max(16, Integer.highestOneBit(initialCapacity) * 2)
+    private var table = new Array[Long](cap)
+    private var n = 0
+    def size: Int = n
+    def add(v: Long): Unit = {
+      if (n * 4 >= cap * 3) grow()
+      var idx = hash(v) & (cap - 1)
+      while (true) {
+        val cur = table(idx)
+        if (cur == 0L) { table(idx) = v; n += 1; return }
+        if (cur == v) return
+        idx = (idx + 1) & (cap - 1)
+      }
+    }
+    def foreach(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (table(i) != 0L) f(table(i)); i += 1 }
+    }
+    @inline private def hash(v: Long): Int = {
+      val h = v * -7046029254386353131L
+      (h ^ (h >>> 32)).toInt
+    }
+    private def grow(): Unit = {
+      val old = table
+      cap *= 2
+      table = new Array[Long](cap)
+      n = 0
+      var i = 0
+      while (i < old.length) { if (old(i) != 0L) add(old(i)); i += 1 }
+    }
   }
 
   /** All ASCII case permutations of a token, capped at 5 case-able chars —
