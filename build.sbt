@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // batch-throughput GC: measurably better than G1 for the shuffle-heavy
+  // index build (see BENCH/BASELINE.md methodology)
+  "-XX:+UseParallelGC",
 ) ++ sys.env.get("GRAFT_JAVA_OPTS").map(_.split(" ").toSeq).getOrElse(Seq())

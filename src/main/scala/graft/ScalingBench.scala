@@ -104,13 +104,21 @@ object ScalingBench {
   }
 
   private def session(cores: Int, name: String): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(name)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shuffle scratch on tmpfs when available: spill I/O is the one part
+    // of the build that cores cannot parallelize (cluster analog: NVMe
+    // shuffle volumes)
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      new java.io.File("/dev/shm/spark-local").mkdirs()
+      b.config("spark.local.dir", "/dev/shm/spark-local")
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

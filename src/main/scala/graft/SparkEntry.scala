@@ -138,6 +138,10 @@ object SparkEntry {
     }),
     "e_index_regex" -> ((s, d) =>
       indexFor(s, d).searchRegex("merge (join|sort)", 20)),
+    "e_tweaked_search" -> ((s, d) => {
+      // DocumentTweaker factors (frozen now — SURVEY §2.8/7.3)
+      indexFor(s, d).searchLiteralTweaked("merge join", 20, 1700000000L).toDF()
+    }),
     "e_lang_stats" -> ((s, d) => {
       val se = indexFor(s, d)
       se.langStats(se.searchLiteral("merge", 1000).toDF())

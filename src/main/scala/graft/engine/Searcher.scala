@@ -149,6 +149,35 @@ class Searcher(@transient val spark: SparkSession, val indexRoot: String) {
     candidates.orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** Literal search with the reference's DocumentTweaker factors applied
+    * after BM25 (query/ranking.rs:19-38; SURVEY §2.8 item 2). `now` is a
+    * frozen query parameter. lastCommit is 0 for the input_hint corpus.
+    */
+  def searchLiteralTweaked(text: String, k: Int, now: Long): Dataset[Hit] = {
+    val terms = queryTerms(text)
+    if (terms.isEmpty) return spark.emptyDataset[Hit]
+    val ts = termStats(terms)
+    if (terms.exists(t => ts(t)._1 == 0L)) return spark.emptyDataset[Hit]
+    val base = scoreAll(terms, ts.map { case (t, (_, w)) => t -> w },
+      conjunctive = true)
+    base.toDF()
+      .join(docs.select($"docId", $"lang", $"avgLineLength"), "docId")
+      .as[(Long, Float, String, Double)]
+      .map { case (docId, score, lang, avgLineLength) =>
+        Hit(docId, graft.score.Tweaker(score,
+          lang != null && lang.nonEmpty, avgLineLength, 0L, now))
+      }
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+  }
+
+  /** Paged top-k (reference TopDocs::with_limit(k).and_offset(o),
+    * query/execute.rs:477-479): fetch k+offset ordered, drop offset
+    * client-side.
+    */
+  def searchPage(text: String, k: Int, offset: Int): Array[Hit] =
+    searchLiteral(text, k + offset).collect().drop(offset)
+
   /** Two-phase regex search (SURVEY §2.7 C5): trigram-prefilter candidates
     * from the "g:" posting namespace, then exact `regexp_like` verify on
     * the docs table — the BytesFilterCollector pattern

@@ -26,6 +26,9 @@ private case class KeyedRow(bucket: Int, docKey: String, repo: String,
                             path: String, commit: String, lang: String,
                             content: String, contentSha: String)
 
+private case class GramBucket(code: Long, docId: Long, normId: Byte,
+                              bucket: Int)
+
 /** Distributed inverted-index builder (SURVEY §3.2 Spark shape):
   *
   *   corpus → filter (reference indexability limits)
@@ -173,18 +176,18 @@ class IndexBuilder(
     // Source from the docs stage output: docIds, normIds and the
     // indexability filter are already materialized there — one corpus
     // pass and one tokenization fewer than re-deriving from the raw input.
-    val raw: Dataset[TokBucket] =
-      spark.read.parquet(docsPath)
-        .select("docId", "path", "content", "normId")
-        .as[SlimDoc]
-        .mapPartitions { it =>
-          it.flatMap { d =>
-            tokenizeDoc(d.docId, d.path, d.content, d.normId, trig)
-              .map(p => TokBucket(p.term, p.docId, p.tf, p.normId,
-                ((p.docId - 1) / bs).toInt))
-          }
-        }
-    val runs = raw
+    val slim = spark.read.parquet(docsPath)
+      .select("docId", "path", "content", "normId")
+      .as[SlimDoc]
+    // Path 1: string terms (code tokens + "s:" symbols) with tf.
+    val strTok: Dataset[TokBucket] = slim.mapPartitions { it =>
+      it.flatMap { d =>
+        tokenizeDoc(d.docId, d.path, d.content, d.normId, trigrams = false)
+          .map(p => TokBucket(p.term, p.docId, p.tf, p.normId,
+            ((p.docId - 1) / bs).toInt))
+      }
+    }
+    val strRuns = strTok
       .repartition(P, $"term", $"bucket")
       .sortWithinPartitions($"term", $"bucket", $"docId")
       .mapPartitions { it =>
@@ -192,7 +195,42 @@ class IndexBuilder(
           new RunGroupingIterator(it, bNormCache.value))(
           r => s"${r.term}:${r.bucket}:${r.df}")
       }
-    runs.write.mode("overwrite").parquet(postingsPath)
+    if (!trig) {
+      strRuns.write.mode("overwrite").parquet(postingsPath)
+      writeLineage(lin)
+      return
+    }
+    // Path 2: trigram namespaces ("g:" content, "p:" path) shuffled as
+    // PACKED LONG codes — ~75% of posting volume; fixed-width long keys
+    // sort and serialize several times cheaper than 5-char strings. Term
+    // strings are reconstructed only once per (term,bucket) run at encode.
+    val gramTok: Dataset[GramBucket] = slim.mapPartitions { it =>
+      it.flatMap { d =>
+        val bucket = ((d.docId - 1) / bs).toInt
+        val g = CodeTokenizer.distinctTrigramCodes(d.content)
+        val p = CodeTokenizer.distinctTrigramCodes(d.path)
+        val out = new Array[GramBucket](g.length + p.length)
+        var i = 0
+        while (i < g.length) {
+          out(i) = GramBucket(g(i), d.docId, d.normId, bucket); i += 1
+        }
+        var j = 0
+        while (j < p.length) {
+          out(i) = GramBucket(p(j) | PathNsBit, d.docId, d.normId, bucket)
+          i += 1; j += 1
+        }
+        out.iterator
+      }
+    }
+    val gramRuns = gramTok
+      .repartition(P, $"code", $"bucket")
+      .sortWithinPartitions($"code", $"bucket", $"docId")
+      .mapPartitions { it =>
+        instrument[PostingRun]("postings", lin)(
+          new GramRunGroupingIterator(it, bNormCache.value))(
+          r => s"${r.term}:${r.bucket}:${r.df}")
+      }
+    strRuns.union(gramRuns).write.mode("overwrite").parquet(postingsPath)
     writeLineage(lin)
   }
 
@@ -233,6 +271,11 @@ class IndexBuilder(
 }
 
 object IndexBuilder {
+
+  /** Namespace bit for packed trigram codes: set = "p:" (path), clear =
+    * "g:" (content). Codes use 48 low bits (3 UTF-16 chars).
+    */
+  val PathNsBit: Long = 1L << 62
 
   /** Reference indexability filters (server/bleep/src/repo/iterator.rs:21-23,
     * indexes/file.rs:723-729): ≤600 KB, ≤20 000 lines. Pure Column exprs →
@@ -318,6 +361,37 @@ object IndexBuilder {
         (System.nanoTime() - t0) / 1000000))
     }
     it
+  }
+}
+
+/** Streaming grouper for the packed-gram path: consumes GramBucket rows
+  * sorted by (code, bucket, docId), emits one PostingRun per (code,bucket)
+  * with the term string ("g:xyz" / "p:xyz") reconstructed once per run.
+  */
+private class GramRunGroupingIterator(
+    it: Iterator[GramBucket],
+    normCache: Array[Float]) extends Iterator[PostingRun] {
+  private val buf = it.buffered
+  override def hasNext: Boolean = buf.hasNext
+  override def next(): PostingRun = {
+    val code = buf.head.code
+    val bucket = buf.head.bucket
+    var df = 0L
+    val entries = new Iterator[(Long, Int, Byte)] {
+      def hasNext: Boolean =
+        buf.hasNext && buf.head.code == code && buf.head.bucket == bucket
+      def next(): (Long, Int, Byte) = {
+        val e = buf.next()
+        df += 1
+        (e.docId, 1, e.normId)
+      }
+    }
+    val blocks = PostingCodec.encodeRun(entries, normCache)
+    val maxTfNorm = if (blocks.isEmpty) 0f else blocks.map(_.maxTfNorm).max
+    val ns = if ((code & IndexBuilder.PathNsBit) != 0L) "p:" else "g:"
+    val term = ns + graft.tokenize.CodeTokenizer.decodeTrigram(
+      code & ~IndexBuilder.PathNsBit)
+    PostingRun(term, bucket, df, df, maxTfNorm, blocks)
   }
 }
 

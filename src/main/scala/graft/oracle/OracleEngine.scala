@@ -97,6 +97,37 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
     topK(hits, k)
   }
 
+  /** Literal search with DocumentTweaker factors (mirror of
+    * Searcher.searchLiteralTweaked; lastCommit = 0 on this corpus).
+    */
+  def searchLiteralTweaked(text: String, k: Int, now: Long): Seq[(Long, Float)] = {
+    val base = searchLiteralAll(text)
+    topK(base.map { case (id, s) =>
+      val d = byId(id)
+      val avgLineLength =
+        if (d.content.isEmpty) 0.0
+        else {
+          var lines = 0
+          var i = 0
+          while (i < d.content.length) {
+            if (d.content.charAt(i) == '\n') lines += 1
+            i += 1
+          }
+          if (d.content.last != '\n') lines += 1
+          d.content.length.toDouble / math.max(lines, 1)
+        }
+      id -> graft.score.Tweaker(s, d.lang != null && d.lang.nonEmpty,
+        avgLineLength, 0L, now)
+    }, k)
+  }
+
+  /** Unranked conjunctive literal hits. */
+  def searchLiteralAll(text: String): Seq[(Long, Float)] = {
+    val terms = CodeTokenizer.tokenize(text).distinct.sorted
+    if (terms.isEmpty) return Nil
+    conjunctiveHits(terms.toSeq, d => d.tf, df)
+  }
+
   /** Disjunctive (OR) multi-term search — WAND semantics. */
   def searchAny(terms0: Seq[String], k: Int): Seq[(Long, Float)] = {
     val terms = terms0.distinct.sorted

@@ -45,6 +45,16 @@ class CodeTokenizerSpec extends AnyFunSuite {
     assert(casePermutations("abcdef") == Seq("abcdef"))
   }
 
+  test("packed trigram codes roundtrip to the string trigram set (fuzz)") {
+    (fuzzStrings(300) ++ Seq("", "a", "ab", "abc", "AbCd", "x y z")).foreach { s =>
+      val strs = distinctTrigrams(s).toSet
+      val decoded = distinctTrigramCodes(s).map(decodeTrigram).toSet
+      assert(decoded == strs, s"mismatch for '$s'")
+      val prefixed = distinctTrigrams(s, "g:").toSet
+      assert(prefixed == strs.map("g:" + _))
+    }
+  }
+
   test("tokenize is deterministic and always lowercase (fuzz)") {
     fuzzStrings(500).foreach { s =>
       val a = tokenize(s)

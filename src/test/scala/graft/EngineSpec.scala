@@ -96,6 +96,22 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("tweaked scoring (DocumentTweaker factors) rank identity") {
+    val now = 1700000000L // frozen, SURVEY §7.3
+    for (q <- Seq("if", "parse index", "readToken")) {
+      val got = hits(searcher.searchLiteralTweaked(q, 20, now))
+      val want = oracle.searchLiteralTweaked(q, 20, now)
+      assert(got == want, s"tweaked '$q'\nengine: $got\noracle: $want")
+    }
+  }
+
+  test("pagination offset (TopDocs and_offset semantics)") {
+    val all = hits(searcher.searchLiteral("if", 30))
+    val page = searcher.searchPage("if", 10, 5)
+      .map(h => (h.docId, h.score)).toSeq
+    assert(page == all.slice(5, 15))
+  }
+
   test("disjunctive (OR) path: WAND == exhaustive == oracle") {
     val terms = Seq("parse", "zebra", "import", "reader")
     for (k <- Seq(5, 50)) {
