@@ -176,6 +176,21 @@ object SparkEntry {
           snips.headOption.map(_.data.take(60)).getOrElse(""))
       }.toSeq.toDF("docId", "n_snippets", "first_snippet")
     }),
+    "e_incremental" -> ((s, d) => {
+      // base on the first half, ingest the second, delete one source repo,
+      // search across generations (D2 + S8 + multi-segment semantics)
+      val all = corpusFromDocuments(s, d)
+      val root = s"/tmp/graft-inc-${d.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      Bench.freshDir(root)
+      val inc = new graft.index.IncrementalIndexer(s, root, bucketSize = 1024)
+      inc.buildBase(all.filter(col("path") < lit("doc/3")))
+      inc.ingest(all.filter(col("path") >= lit("doc/3")))
+      inc.deleteRepo("src0")
+      val ms = inc.searcher()
+      ms.materialize(ms.search(ms.queryTerms("merge join"), 20,
+        conjunctive = true, useWand = false))
+        .select("docId", "score", "repo", "path")
+    }),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(emb(s, d), 0L, 10)),
     "e_media_features" -> ((s, _) =>
       Multimodal.featureStats(Multimodal.synthMedia(s, 300))),

@@ -1,0 +1,164 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental index maintenance — the Spark shape of the reference's
+  * repo-sync pipeline (SURVEY §3.2, §4.5): bloop keeps a sqlite FileCache
+  * of blake3 keys, indexes only changed files and deletes stale docs by
+  * unique_hash (server/bleep/src/cache.rs:108-129,223-260,
+  * indexes/file.rs:211-215). Here:
+  *
+  *   base index  = IndexBuilder output (immutable snapshot)
+  *   delta index = IndexBuilder output over ONLY the new/changed rows,
+  *                 with docIds offset past the base (generation dirs
+  *                 delta-1, delta-2, …)
+  *   tombstones  = docIds whose (docKey) was re-added or deleted — the
+  *                 delete-by-hash / delete-by-repo analog (S8)
+  *
+  * A MultiSearcher unions postings across generations, aggregates dict/
+  * stats globally (tantivy does the same across segments), and filters
+  * tombstoned docIds — so scores equal a from-scratch rebuild's scores
+  * (verified by IncrementalSpec; docIds differ by construction, identity
+  * is on (repo, path, commit, score)).
+  *
+  * The freshness check is the D2 anti-join: rows whose (docKey,
+  * contentSha) already exist in a live generation are skipped.
+  */
+class IncrementalIndexer(@transient val spark: SparkSession, root: String,
+                         bucketSize: Long = 1L << 20) {
+  import spark.implicits._
+
+  def basePath = s"$root/base"
+  def deltaPath(gen: Int) = s"$root/delta-$gen"
+  def tombstonePath = s"$root/tombstones"
+
+  /** Live generation roots, in creation order. */
+  def generations(): Seq[String] = {
+    val base = new java.io.File(basePath)
+    val deltas = Iterator.from(1)
+      .map(g => new java.io.File(deltaPath(g)))
+      .takeWhile(f => new java.io.File(f, "docs/_SUCCESS").exists())
+      .map(_.getPath).toSeq
+    (if (new java.io.File(base, "docs/_SUCCESS").exists()) Seq(base.getPath)
+     else Seq.empty) ++ deltas
+  }
+
+  def buildBase(corpus: DataFrame): Unit =
+    new IndexBuilder(spark, basePath, bucketSize).build(corpus)
+
+  private def liveDocs(): Option[DataFrame] = {
+    val gens = generations()
+    if (gens.isEmpty) None
+    else Some(gens.map(g => spark.read.parquet(s"$g/docs")
+        .select($"docId", $"repo", $"path", $"commit", $"contentSha"))
+      .reduce(_ union _)
+      .join(readTombstones(), Seq("docId"), "left_anti"))
+  }
+
+  def readTombstones(): DataFrame = {
+    if (new java.io.File(s"$tombstonePath/_SUCCESS").exists())
+      spark.read.parquet(tombstonePath)
+    else Seq.empty[Long].toDF("docId")
+  }
+
+  private def maxDocId(): Long = {
+    val gens = generations()
+    if (gens.isEmpty) 0L
+    else gens.map(g => spark.read.parquet(s"$g/docs")
+      .agg(coalesce(max($"docId"), lit(0L))).head().getLong(0)).max
+  }
+
+  /** Ingest a batch of corpus rows:
+    *   1. freshness anti-join (D2): unchanged (docKey, contentSha) skipped;
+    *   2. changed keys: old docIds tombstoned (delete-by-hash, S8);
+    *   3. remaining rows → a new delta generation, docIds offset past all
+    *      existing ones.
+    * Returns the number of newly indexed rows.
+    */
+  def ingest(batch: DataFrame): Long = {
+    val withSha =
+      if (batch.columns.contains("contentSha")) batch
+      else batch.withColumn("contentSha", sha2($"content", 256))
+    val fresh = liveDocs() match {
+      case None => withSha
+      case Some(live) =>
+        withSha.join(live.select($"repo", $"path", $"commit", $"contentSha"),
+          Seq("repo", "path", "commit", "contentSha"), "left_anti")
+    }
+    val freshCount = fresh.count()
+    if (freshCount == 0) return 0L
+    // tombstone old versions of keys being re-added (update = delete+add,
+    // reference indexes.rs:244 semantics)
+    liveDocs().foreach { live =>
+      val stale = live.join(
+        fresh.select($"repo", $"path", $"commit"),
+        Seq("repo", "path", "commit"), "left_semi")
+        .select($"docId")
+      if (stale.limit(1).count() > 0) appendTombstones(stale)
+    }
+    val gen = generations().count(_.contains("delta-")) + 1
+    val offset = maxDocId()
+    val builder = new IndexBuilder(spark, deltaPath(gen), bucketSize,
+      docIdOffset = offset)
+    builder.build(fresh)
+    freshCount
+  }
+
+  /** Delete every document of a repo (reference delete-by-repo,
+    * indexes/file.rs:221-226) via tombstones; physical removal happens at
+    * the next compact().
+    */
+  def deleteRepo(repo: String): Unit = {
+    liveDocs().foreach { live =>
+      appendTombstones(live.filter($"repo" === repo).select($"docId"))
+    }
+  }
+
+  private def appendTombstones(docIds: DataFrame): Unit = {
+    val existing = readTombstones()
+    existing.union(docIds.select($"docId")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$tombstonePath.tmp")
+    // atomic-ish swap
+    val tmp = new java.io.File(s"$tombstonePath.tmp")
+    val dst = new java.io.File(tombstonePath)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(dst)
+    tmp.renameTo(dst)
+  }
+
+  /** Searcher over all live generations with tombstone filtering and
+    * globally aggregated stats.
+    */
+  def searcher(): MultiSearcher = new MultiSearcher(spark, generations(),
+    readTombstones())
+
+  /** Compaction — the segment-merge analog (reference indexes.rs:205-210
+    * commit + merge): rebuild a single base generation from the LIVE rows
+    * (stored fields carry content), drop deltas and tombstones. After
+    * compact(), stats/df exclude deleted docs and scores equal a
+    * from-scratch rebuild.
+    */
+  def compact(): Unit = {
+    val gens = generations()
+    if (gens.isEmpty) return
+    val live = spark.read.parquet(gens.map(g => s"$g/docs"): _*)
+      .join(readTombstones(), Seq("docId"), "left_anti")
+      .select($"repo", $"path", $"commit", $"lang", $"content", $"contentSha")
+    val newBase = s"$root/base-new"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(newBase))
+    new IndexBuilder(spark, newBase, bucketSize).build(live)
+    (1 to gens.count(_.contains("delta-"))).foreach(g =>
+      rm(new java.io.File(deltaPath(g))))
+    rm(new java.io.File(tombstonePath))
+    rm(new java.io.File(basePath))
+    new java.io.File(newBase).renameTo(new java.io.File(basePath))
+  }
+}

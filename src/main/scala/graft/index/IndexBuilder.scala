@@ -58,7 +58,8 @@ class IndexBuilder(
     val indexRoot: String,
     bucketSize: Long = 1L << 20,
     includeTrigrams: Boolean = true,
-    numPartitions: Int = 0) {
+    numPartitions: Int = 0,
+    docIdOffset: Long = 0L) {
 
   import spark.implicits._
   import IndexBuilder._
@@ -115,6 +116,7 @@ class IndexBuilder(
       offsets(b) = acc; acc += counts.getOrElse(b, 0L)
     }
     val bOffsets = spark.sparkContext.broadcast(offsets)
+    val idOffset = docIdOffset // delta generations start past the base
     keyed
       .repartition(p, $"bucket")
       .sortWithinPartitions("bucket", "docKey")
@@ -125,7 +127,7 @@ class IndexBuilder(
         it.map { r =>
           if (r.bucket != curBucket) {
             curBucket = r.bucket
-            next = bOffsets.value(r.bucket)
+            next = idOffset + bOffsets.value(r.bucket)
           }
           next += 1
           IdRow(next, r.repo, r.path, r.commit, r.lang, r.content, r.contentSha)

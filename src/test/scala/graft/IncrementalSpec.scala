@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.corpus.CorpusGen
+import graft.engine.Searcher
+import graft.index.{IncrementalIndexer, IndexBuilder}
+
+/** Incremental indexing semantics (SURVEY §4.5, reference cache.rs D2 +
+  * delete S8): freshness skip, update = delete+add via tombstones,
+  * delete-by-repo, multi-generation search with Lucene-style stale stats,
+  * and full score parity after compaction.
+  */
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two disjoint corpus slices from different seeds
+  lazy val corpusA = CorpusGen.synth(spark, 6, 12, seed = 100L).cache()
+  lazy val corpusB = CorpusGen.synth(spark, 4, 10, seed = 200L)
+    .withColumn("repo", concat(lit("b-"), col("repo"))).cache()
+
+  private def fullRebuild(dfs: Seq[DataFrame], name: String): Searcher = {
+    val root = TestSpark.tempDir(s"inc-full-$name")
+    new IndexBuilder(spark, root, bucketSize = 64).build(
+      dfs.reduce(_ unionByName _))
+    new Searcher(spark, root)
+  }
+
+  /** identity on (repo, path, score) — docIds differ across generations
+    * by construction.
+    */
+  private def keyedHits(s: Searcher, q: String): Set[(String, String, Float)] = {
+    val hits = s.search(s.queryTerms(q), 1000, conjunctive = true,
+      useWand = false)
+    s.materialize(hits).select("repo", "path", "score").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getFloat(2))).toSet
+  }
+
+  test("ingest of disjoint batch == full rebuild (scores + doc keys)") {
+    val root = TestSpark.tempDir("inc-1")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    assert(inc.ingest(corpusB) == corpusB.count())
+    val full = fullRebuild(Seq(corpusA, corpusB), "ab")
+    val ms = inc.searcher()
+    assert(ms.stats == full.stats)
+    for (q <- Seq("if", "parse", "return index")) {
+      assert(keyedHits(ms, q) == keyedHits(full, q), s"query '$q'")
+    }
+  }
+
+  test("freshness: re-ingesting identical rows indexes nothing (D2)") {
+    val root = TestSpark.tempDir("inc-2")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    assert(inc.ingest(corpusA) == 0L)
+    assert(inc.generations().size == 1)
+  }
+
+  test("update = delete+add: changed content tombstones the old doc") {
+    val root = TestSpark.tempDir("inc-3")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    // change one file's content (same repo/path/commit key)
+    val victim = corpusA.limit(1).collect()(0)
+    val changed = Seq((victim.getString(0), victim.getString(1),
+      victim.getString(2), victim.getString(3),
+      "entirely new uniquetokenxyz content\n"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    assert(inc.ingest(changed) == 1L)
+    val ms = inc.searcher()
+    // old content version is gone; new token findable; exactly one live
+    // doc for that key
+    val hits = ms.search(Seq("uniquetokenxyz"), 10, conjunctive = true,
+      useWand = false)
+    val mat = ms.materialize(hits).select("repo", "path").collect()
+    assert(mat.length == 1)
+    assert(mat(0).getString(0) == victim.getString(0))
+    val liveForKey = ms.docs.filter(col("repo") === victim.getString(0) &&
+      col("path") === victim.getString(1)).count()
+    assert(liveForKey == 1L)
+  }
+
+  test("delete-by-repo tombstones every doc of the repo (S8)") {
+    val root = TestSpark.tempDir("inc-4")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    val repo = corpusA.select("repo").distinct().orderBy("repo")
+      .limit(1).collect()(0).getString(0)
+    inc.deleteRepo(repo)
+    val ms = inc.searcher()
+    assert(ms.docs.filter(col("repo") === repo).count() == 0)
+    // hits never surface deleted docs
+    val hits = ms.search(Seq("if"), 10000, conjunctive = true, useWand = false)
+    assert(ms.materialize(hits).filter(col("repo") === repo).count() == 0)
+  }
+
+  test("compact() restores exact rebuild equivalence (docIds AND scores)") {
+    val root = TestSpark.tempDir("inc-5")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    inc.ingest(corpusB)
+    val repo = corpusA.select("repo").distinct().orderBy("repo")
+      .limit(1).collect()(0).getString(0)
+    inc.deleteRepo(repo)
+    inc.compact()
+    assert(inc.generations().size == 1)
+    val live = corpusA.filter(col("repo") =!= repo)
+    val full = fullRebuild(Seq(live, corpusB), "compacted")
+    val ms = inc.searcher()
+    assert(ms.stats == full.stats)
+    for (q <- Seq("if", "parse index")) {
+      val got = ms.search(ms.queryTerms(q), 50, conjunctive = true,
+        useWand = false).collect().map(h => (h.docId, h.score)).toSet
+      val want = full.search(full.queryTerms(q), 50, conjunctive = true,
+        useWand = false).collect().map(h => (h.docId, h.score)).toSet
+      assert(got == want, s"query '$q' after compact")
+    }
+  }
+
+  test("structured streaming ingest drains arriving corpus files") {
+    val root = TestSpark.tempDir("inc-stream")
+    val inDir = TestSpark.tempDir("inc-stream-in")
+    val ckpt = TestSpark.tempDir("inc-stream-ckpt")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    val q = graft.streaming.StreamingIngest.start(spark, inDir, inc, ckpt)
+    try {
+      corpusB.select("repo", "path", "commit", "lang", "content")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val ms = inc.searcher()
+      assert(ms.stats.n == corpusA.count() + corpusB.count())
+      // second arrival of the same files: freshness skips them
+      corpusB.select("repo", "path", "commit", "lang", "content")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      assert(inc.searcher().stats.n == corpusA.count() + corpusB.count())
+    } finally q.stop()
+  }
+}
