@@ -84,6 +84,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     "q_minhash_bands" -> ((s, d) => Dedup.minhashBands(docs(s, d))),
     "q_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    "q_minhash_pairs" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
     "q_jaccard_pairs" -> ((s, d) => Dedup.jaccardConsecutive(docs(s, d))),
     // ---- text analysis
     "q_langid" -> ((s, d) => TextOps.langIdScore(docs(s, d))),
@@ -117,6 +118,21 @@ object SparkEntry {
           count("*").as("n_items"),
           round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
+    }),
+    "q_event_sessions" -> ((s, d) => { // sessionization (gap > 30 min)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      s.read.parquet(s"$d/events.parquet")
+        .withColumn("prev_ts", lag(unix_timestamp(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - col("prev_ts") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count("*").as("n_events"),
+          min(unix_timestamp(col("ts"))).as("start_s"))
     }),
     "q_window_events" -> ((s, d) =>
       s.read.parquet(s"$d/events.parquet")
@@ -275,6 +291,30 @@ object SparkEntry {
            |          FROM wh CROSS JOIN (SELECT unnest(range(0,16)) AS bit) GROUP BY doc_id, bit)
            |SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(pow(2,bit) AS BIGINT) ELSE 0 END) AS simhash
            |FROM votes GROUP BY doc_id""".stripMargin,
+      "q_minhash_pairs" ->
+        s"""WITH wh AS (SELECT DISTINCT doc_id, ${charHash("w")} AS wh FROM ($words)),
+           |mh AS (SELECT doc_id, seed, min(((2*seed+1)*wh + (1000003*seed+12345)) % 1000000007) AS minhash
+           |       FROM wh CROSS JOIN (SELECT unnest(range(0,12)) AS seed) GROUP BY doc_id, seed),
+           |bands AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+           |            string_agg(minhash, ',' ORDER BY seed) AS sig
+           |          FROM mh GROUP BY doc_id, seed // 3)
+           |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+           |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+           |  AND a.doc_id < b.doc_id""".stripMargin,
+      "q_event_sessions" ->
+        """WITH e AS (SELECT user_id, event_id, ts,
+          |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+          |l AS (SELECT user_id, event_id, ts, ts_s,
+          |        lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          |      FROM e),
+          |s AS (SELECT user_id, ts, event_id, ts_s,
+          |        CAST(sum(CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > 1800
+          |                      THEN 1 ELSE 0 END)
+          |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          |      FROM l)
+          |SELECT user_id, session_id, count(*) AS n_events, min(ts_s) AS start_s
+          |FROM s GROUP BY user_id, session_id""".stripMargin,
       "q_jaccard_pairs" ->
         s"""WITH ws AS (SELECT DISTINCT doc_id, w FROM ($words)),
            |sizes AS (SELECT doc_id, count(*) AS n FROM ws GROUP BY doc_id),
