@@ -191,7 +191,19 @@ class Searcher(@transient val spark: SparkSession, val indexRoot: String) {
       .orderBy($"score".desc, $"docId".asc)
       .limit(k)
 
-  /** Unranked verified regex matches (docId, score, stored fields). */
+  /** Unranked verified regex matches (docId, score, stored fields).
+    *
+    * Two prefilters compose (both supersets of the true matches, so the
+    * verify step makes the result exact):
+    *   - requiredGrams (grams EVERY match must contain) drive the scored
+    *     conjunctive candidate set — and the result's BM25-over-trigrams
+    *     score, matching the oracle spec;
+    *   - the full Fragment tree evaluates to a docId set with
+    *     union/intersection semantics (reference plan_to_query,
+    *     query/compiler.rs:169-207): alternations like `abc|def` prune to
+    *     the union of branch candidates instead of a full scan, which
+    *     requiredGrams alone (an intersection across branches) cannot do.
+    */
   def regexAll(pattern: String, caseSensitive: Boolean = false): DataFrame = {
     import graft.query.RegexPlanner
     val frag = RegexPlanner.plan(pattern)
@@ -206,9 +218,55 @@ class Searcher(@transient val spark: SparkSession, val indexRoot: String) {
         scoreAll(grams, ts.map { case (t, (_, w)) => t -> w },
           conjunctive = true).toDF()
       }
+    // cost heuristic: the fragment set-ops pass is worth its extra jobs
+    // only when the requiredGrams prefilter is weak (few/no grams — e.g.
+    // pure alternations); with ≥3 required grams the conjunctive candidate
+    // set is already tight and verify is cheap
+    val narrowed =
+      if (grams.size >= 3) candidates
+      else fragmentCandidates(frag) match {
+        case Some(fc) => candidates.join(fc, Seq("docId"), "left_semi")
+        case None => candidates
+      }
     val pat = if (caseSensitive) pattern else "(?i)" + pattern
-    candidates.join(docs, "docId")
+    narrowed.join(docs, "docId")
       .filter(regexp_like($"content", lit(pat)))
+  }
+
+  /** Evaluate a regex plan Fragment to a candidate docId set (None = all
+    * docs / no constraint). Lit → AND of its trigrams; And → intersection;
+    * Or → union; Break → None.
+    */
+  def fragmentCandidates(frag: graft.query.Fragment): Option[DataFrame] = {
+    import graft.query.Fragment._
+    frag match {
+      case Break => None
+      case Lit(s) =>
+        val grams = graft.tokenize.CodeTokenizer.distinctTrigrams(s, "g:")
+        if (s.length < 3 || grams.isEmpty) None
+        else Some(gramDocIds(grams.toSeq.sorted))
+      case And(cs) =>
+        val sets = cs.flatMap(fragmentCandidates)
+        if (sets.isEmpty) None
+        else Some(sets.reduce((a, b) => a.join(b, Seq("docId"), "left_semi")))
+      case Or(cs) =>
+        val sets = cs.map(fragmentCandidates)
+        if (sets.exists(_.isEmpty)) None // one unconstrained branch ⇒ all
+        else Some(sets.flatten.reduce(_ union _).distinct())
+    }
+  }
+
+  /** docIds containing ALL the given posting terms (conjunctive semi-join
+    * via the count-matching aggregation — SURVEY §2.6 B3).
+    */
+  private def gramDocIds(terms: Seq[String]): DataFrame = {
+    val n = terms.size
+    postings.filter($"term".isin(terms: _*))
+      .flatMap(run => PostingCodec.decodeRun(run.blocks).map(e => e._1))
+      .groupByKey(identity).count()
+      .filter(_._2 == n)
+      .map(_._1)
+      .toDF("docId")
   }
 
   /** Hit materialization: fetch stored fields for the ≤k winners —

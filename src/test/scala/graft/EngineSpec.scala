@@ -44,7 +44,8 @@ class EngineSpec extends AnyFunSuite {
 
   val regexQueries = Seq(
     "pars.", "parse.*index", "im.ort", "(if|return)z?", "read[a-c]?",
-    "abc.def", "token(izer)?", "impl\\s+\\w+")
+    "abc.def", "token(izer)?", "impl\\s+\\w+",
+    "parse|merge", "(parse|merge)Index", "wri(te|ting) cache")
 
   private def hits(ds: org.apache.spark.sql.Dataset[graft.engine.Hit]) =
     ds.collect().map(h => (h.docId, h.score)).toSeq
@@ -131,6 +132,24 @@ class EngineSpec extends AnyFunSuite {
       val want = oracle.searchRegex(pat, 10)
       assert(got == want, s"\nengine: $got\noracle: $want")
     }
+  }
+
+  test("alternation regex prunes via fragment union (no full scan)") {
+    import graft.query.RegexPlanner
+    val frag = RegexPlanner.plan("parse|merge")
+    // requiredGrams is empty (branches share nothing) …
+    assert(RegexPlanner.requiredGrams(frag).isEmpty)
+    // … but the fragment evaluation still yields a candidate subset
+    val cand = searcher.fragmentCandidates(frag)
+    assert(cand.isDefined)
+    val nCand = cand.get.count()
+    val nDocs = searcher.docs.count()
+    assert(nCand < nDocs, s"fragment candidates $nCand of $nDocs docs")
+    // and it is a superset of the true matches
+    val truth = oracle.docs.count(d =>
+      java.util.regex.Pattern.compile("(?i)parse|merge")
+        .matcher(d.content).find())
+    assert(nCand >= truth)
   }
 
   test("regex two-phase equals naive regex scan (superset-safety)") {
