@@ -58,6 +58,16 @@ object Bench {
     results += "index_build" -> tBuild
     val searcher = new Searcher(spark, root)
 
+    // --- synthetic 20k-file build: large enough that per-job fixed costs
+    // stop dominating files/sec (the documents table is only ~5k rows)
+    val synth = graft.corpus.CorpusGen.synth(spark, 50, 400, seed = 42L)
+    val synthRoot = freshDir(s"/tmp/graft-bench-synth")
+    val (_, tSynth) = timed {
+      new IndexBuilder(spark, synthRoot, bucketSize = 4096,
+        numPartitions = 128).build(synth)
+    }
+    results += "index_build_synth20k" -> tSynth
+
     // --- query latency over the reference query set (WAND path, k=10)
     val querySet = Seq("merge join", "scan", "filter window", "customer",
       "the fast", "vector stream", "hash join order", "slow batch")
@@ -94,10 +104,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.sum
     val fps = nFiles / tBuild
+    val fpsSynth = 20000.0 / tSynth
+    // latest N→4N scaling evidence, if ScalingBench has produced it
+    val scaling = try {
+      val j = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("BENCH/scaling.json")).trim
+      s""","scaling":$j"""
+    } catch { case _: Throwable => "" }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","files":$nFiles,"files_per_sec":${f"$fps%.1f"},""" +
-      s""""cpus":$cpus}""")
+      s""""files_per_sec_synth20k":${f"$fpsSynth%.1f"},""" +
+      s""""cpus":$cpus$scaling}""")
     spark.stop()
   }
 }

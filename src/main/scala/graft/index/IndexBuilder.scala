@@ -141,6 +141,7 @@ class IndexBuilder(
     * (indexes/file.rs:713-721, incl. the implicit trailing newline).
     */
   def buildDocs(corpus: DataFrame): Unit = {
+    ensureFormat()
     if (done(docsPath) && done(statsPath)) return
     val lin = newLineageAcc()
     val docs = withDocIds(filterIndexable(corpus)).mapPartitions { it =>
@@ -168,6 +169,7 @@ class IndexBuilder(
     * stream each run into compressed blocks without materializing a group.
     */
   def buildPostings(corpus: DataFrame): Unit = {
+    ensureFormat()
     if (done(postingsPath)) return
     val stats = readStats()
     val bNormCache = spark.sparkContext.broadcast(
@@ -241,6 +243,7 @@ class IndexBuilder(
     * per term×bucket), so this groupBy is skew-proof even for `if`.
     */
   def buildDict(): Unit = {
+    ensureFormat()
     if (done(dictPath)) return
     spark.read.parquet(postingsPath)
       .groupBy($"term")
@@ -253,11 +256,36 @@ class IndexBuilder(
   /** Full build with resume: stages skip when their `_SUCCESS` marker is
     * present (kill mid-build ⇒ unfinished stage has no marker ⇒ reruns;
     * outputs are deterministic so resume reproduces identical artifacts).
+    * A FORMAT marker carries the index layout version (the reference's
+    * schema-version reset-on-change, indexes.rs:117-129): a version
+    * mismatch wipes and rebuilds instead of resuming onto a stale layout.
     */
   def build(corpus: DataFrame): Unit = {
     buildDocs(corpus)
     buildPostings(corpus)
     buildDict()
+  }
+
+  /** Layout-version gate, run before any stage resumes: a FORMAT mismatch
+    * (or version-less artifacts) wipes the root — never resume onto a
+    * stale layout.
+    */
+  private def ensureFormat(): Unit = {
+    val fmt = new java.io.File(s"$indexRoot/FORMAT")
+    val stale =
+      (fmt.exists() && java.nio.file.Files.readString(fmt.toPath).trim !=
+        IndexBuilder.FormatVersion) ||
+      (!fmt.exists() && done(docsPath)) // pre-versioning artifacts
+    if (stale) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(indexRoot))
+    }
+    new java.io.File(indexRoot).mkdirs()
+    if (!fmt.exists())
+      java.nio.file.Files.writeString(fmt.toPath, IndexBuilder.FormatVersion)
   }
 
   // ----------------------------------------------------------------- lineage
@@ -273,6 +301,11 @@ class IndexBuilder(
 }
 
 object IndexBuilder {
+
+  /** Index layout version — bump on any schema/codec/tokenizer-spec change
+    * so cached index directories cannot be resumed across layouts.
+    */
+  val FormatVersion = "graft-index-v1"
 
   /** Namespace bit for packed trigram codes: set = "p:" (path), clear =
     * "g:" (content). Codes use 48 low bits (3 UTF-16 chars).

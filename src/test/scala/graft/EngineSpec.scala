@@ -180,6 +180,17 @@ class EngineSpec extends AnyFunSuite {
     val d2 = s2.dict.collect().map(d => (d.term, d.df, d.cf)).toSet
     val d7 = s7.dict.collect().map(d => (d.term, d.df, d.cf)).toSet
     assert(d2 == d7)
+    // byte-level determinism: SAME bucketing at different partition counts
+    // must produce identical compressed posting blocks
+    val rootB = TestSpark.tempDir("engine-p5-b64")
+    new IndexBuilder(spark, rootB, bucketSize = 64, numPartitions = 5).build(corpus)
+    def blockBytes(root: String) =
+      new Searcher(spark, root).postings.collect()
+        .map(r => (r.term, r.bucket,
+          r.blocks.map(b => java.util.Arrays.hashCode(b.bytes)).toSeq))
+        .sortBy(x => (x._1, x._2)).toSeq
+    assert(blockBytes(rootB) == blockBytes(indexRoot),
+      "compressed posting bytes must be partition-count-invariant")
   }
 
   test("resume after simulated failure reproduces identical artifacts") {
