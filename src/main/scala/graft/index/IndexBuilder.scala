@@ -144,13 +144,18 @@ class IndexBuilder(
     ensureFormat()
     if (done(docsPath) && done(statsPath)) return
     val lin = newLineageAcc()
-    val docs = withDocIds(filterIndexable(corpus)).mapPartitions { it =>
+    // ALL rows get a doc — files failing the indexability limits become
+    // metadata-only stubs with empty stored content (reference D7,
+    // indexes/file.rs:644-673); only indexed docs feed postings and the
+    // BM25 stats
+    val docs = withDocIds(corpus).mapPartitions { it =>
       instrument[Doc]("docs", lin)(it.map(buildDoc))(
         d => s"${d.docId}:${d.contentSha}")
     }
     docs.write.mode("overwrite").parquet(docsPath)
     writeLineage(lin)
     val st = spark.read.parquet(docsPath)
+      .filter($"indexed")
       .agg(count("*").as("n"), coalesce(sum($"docLen"), lit(0L)).as("t"))
       .head()
     val n = st.getLong(0)
@@ -181,6 +186,7 @@ class IndexBuilder(
     // indexability filter are already materialized there — one corpus
     // pass and one tokenization fewer than re-deriving from the raw input.
     val slim = spark.read.parquet(docsPath)
+      .filter($"indexed")
       .select("docId", "path", "content", "normId")
       .as[SlimDoc]
     // Path 1: string terms (code tokens + "s:" symbols) with tf.
@@ -322,8 +328,15 @@ object IndexBuilder {
       size(split($"content", "\n", -1)) <= 20001)
   }
 
-  /** Per-doc field derivation (stage "docs" row transform). */
+  /** Per-doc field derivation (stage "docs" row transform). Oversize rows
+    * (reference limits: >600 KB or >20 000 lines, repo/iterator.rs:21-23)
+    * become metadata-only stubs: indexed=false, empty stored content —
+    * browsable, never scored (D7, indexes/file.rs:644-673).
+    */
   def buildDoc(r: IdRow): Doc = {
+    if (!isIndexable(r.content))
+      return Doc(r.docId, r.repo, r.path, r.commit, r.lang, "", r.contentSha,
+        0, 0.toByte, 0.0, Array.empty, indexed = false)
     val docLen = CodeTokenizer.tokenize(r.content).length
     val b = scala.collection.mutable.ArrayBuilder.make[Int]
     var i = 0
@@ -337,7 +350,22 @@ object IndexBuilder {
       docLen, SmallFloat.intToByte4(docLen),
       if (lineEnds.length == 0) 0.0
       else r.content.length.toDouble / lineEnds.length,
-      lineEnds)
+      lineEnds, indexed = true)
+  }
+
+  /** Pure predicate form of the reference indexability limits. */
+  def isIndexable(content: String): Boolean = {
+    if (content.length > 600000) return false // chars >= bytes check below
+    var bytes = 0L
+    var lines = 1
+    var i = 0
+    while (i < content.length) {
+      val c = content.charAt(i)
+      bytes += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
+      if (c == '\n') lines += 1
+      i += 1
+    }
+    bytes <= 600000 && lines <= 20001
   }
 
   /** Tokenize one doc into raw postings. Namespaces (SURVEY §2.3):

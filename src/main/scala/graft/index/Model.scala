@@ -31,7 +31,8 @@ case class Doc(
     docLen: Int,
     normId: Byte,
     avgLineLength: Double,
-    lineEnds: Array[Int])
+    lineEnds: Array[Int],
+    indexed: Boolean)
 
 /** One compressed posting block: up to PostingCodec.BlockSize entries of
   * (delta-docId varint, tf varint, normId byte). maxTfNorm is the

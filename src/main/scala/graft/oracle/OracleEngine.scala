@@ -25,32 +25,35 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
   case class ODoc(docId: Long, repo: String, path: String, commit: String,
                   lang: String, content: String, tf: Map[String, Int],
                   symTf: Map[String, Int], grams: Set[String], docLen: Int,
-                  normId: Byte)
+                  normId: Byte, indexed: Boolean)
 
   val docs: Vector[ODoc] = {
-    val kept = rows.filter { case (_, _, _, _, c) =>
-      c.getBytes("UTF-8").length <= 600000 &&
-        (c.split("\n", -1).length <= 20001)
-    }
     // docId = rank of docKey = sha256(repo ∥ '\0' ∥ path ∥ '\0' ∥ commit)
-    // — must mirror IndexBuilder.withDocIds exactly
-    kept.sortBy { case (r, p, c, _, _) =>
+    // — must mirror IndexBuilder.withDocIds exactly. Rows beyond the
+    // indexability limits become metadata-only stubs (D7), same as the
+    // engine's buildDoc.
+    rows.sortBy { case (r, p, c, _, _) =>
       graft.corpus.CorpusGen.sha256Hex(r + "\u0000" + p + "\u0000" + c)
     }
       .zipWithIndex.map { case ((r, p, c, l, content), i) =>
-        val (tf, docLen) = CodeTokenizer.termFreqs(content)
-        val g = CodeTokenizer.distinctTrigrams(content).toSet
-        val sym = mutable.HashMap.empty[String, Int]
-        graft.tokenize.SymbolExtractor.symbolTerms(content).foreach { t =>
-          sym.update(t, sym.getOrElse(t, 0) + 1)
+        if (!graft.index.IndexBuilder.isIndexable(content))
+          ODoc(i + 1L, r, p, c, l, "", Map.empty, Map.empty, Set.empty,
+            0, 0.toByte, indexed = false)
+        else {
+          val (tf, docLen) = CodeTokenizer.termFreqs(content)
+          val g = CodeTokenizer.distinctTrigrams(content).toSet
+          val sym = mutable.HashMap.empty[String, Int]
+          graft.tokenize.SymbolExtractor.symbolTerms(content).foreach { t =>
+            sym.update(t, sym.getOrElse(t, 0) + 1)
+          }
+          ODoc(i + 1L, r, p, c, l, content, tf.toMap, sym.toMap, g,
+            docLen, SmallFloat.intToByte4(docLen), indexed = true)
         }
-        ODoc(i + 1L, r, p, c, l, content, tf.toMap, sym.toMap, g,
-          docLen, SmallFloat.intToByte4(docLen))
       }.toVector
   }
 
-  val n: Long = docs.size.toLong
-  val totalTokens: Long = docs.map(_.docLen.toLong).sum
+  val n: Long = docs.count(_.indexed).toLong
+  val totalTokens: Long = docs.filter(_.indexed).map(_.docLen.toLong).sum
   val avgdl: Float =
     if (n == 0) 0f else (totalTokens.toDouble / n).toFloat
   private val normCache: Array[Float] = Bm25.normCache(avgdl)

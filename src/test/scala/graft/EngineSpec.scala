@@ -231,6 +231,34 @@ class EngineSpec extends AnyFunSuite {
     assert(docRows == oracle.n)
   }
 
+  test("oversize files become metadata-only stubs (D7)") {
+    import org.apache.spark.sql.functions.col
+    val big = ("bigtokenzz " * 60001).trim + "\n" // > 600 KB
+    assert(!graft.index.IndexBuilder.isIndexable(big))
+    val mixed = corpus.limit(10).select("repo", "path", "commit", "lang", "content")
+      .unionByName(Seq(("github.com/stub/r", "huge.bin", "c0ffee", "rust", big))
+        .toDF("repo", "path", "commit", "lang", "content"))
+    val root = TestSpark.tempDir("engine-stub")
+    new IndexBuilder(spark, root, bucketSize = 64, numPartitions = 3)
+      .build(mixed)
+    val s = new Searcher(spark, root)
+    // stub exists as a metadata row with empty stored content
+    val stub = s.docs.filter(col("path") === "huge.bin").collect()
+    assert(stub.length == 1)
+    assert(!stub(0).getAs[Boolean]("indexed"))
+    assert(stub(0).getAs[String]("content").isEmpty)
+    // never scored: its token is unknown to the dict, stats exclude it
+    assert(s.searchLiteral("bigtokenzz", 10).count() == 0)
+    assert(s.stats.n == 10)
+    // oracle mirrors the same semantics
+    val o = new graft.oracle.OracleEngine(
+      mixed.collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getString(4))).toSeq)
+    assert(o.n == 10)
+    assert(o.docs.count(!_.indexed) == 1)
+    assert(o.searchLiteral("bigtokenzz", 10).isEmpty)
+  }
+
   test("hot terms are salted: 'if' spans multiple buckets") {
     val buckets = searcher.postings.filter($"term" === "if")
       .select("bucket").distinct().count()
