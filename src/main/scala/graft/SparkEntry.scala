@@ -62,6 +62,10 @@ object SparkEntry {
     "q_topk_len" -> ((s, d) => // C1 TopDocs: top-k with explicit tie-break
       docs(s, d).select("doc_id", "n_chars")
         .orderBy(col("n_chars").desc, col("doc_id").asc).limit(100)),
+    "q_topk_offset" -> ((s, d) => // C1 pagination: and_offset semantics
+      docs(s, d).select("doc_id", "n_chars")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .offset(25).limit(50)),
     "q_group_cap" -> ((s, d) => { // C6 GroupCollector: top-3 per group
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("lang")
@@ -256,6 +260,8 @@ object SparkEntry {
         "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
       "q_topk_len" ->
         "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100",
+      "q_topk_offset" ->
+        "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50 OFFSET 25",
       "q_group_cap" ->
         """SELECT doc_id, lang, n_chars, rn FROM (
           |  SELECT doc_id, lang, n_chars, CAST(row_number() OVER (
