@@ -43,13 +43,29 @@ class Searcher(@transient val spark: SparkSession, val indexRoot: String) {
     spark.read.parquet(s"$indexRoot/dict").as[DictEntry]
   lazy val docs: DataFrame = spark.read.parquet(s"$indexRoot/docs")
 
+  /** Dict cached on the driver when small enough (one lookup job total
+    * instead of one per query). At web scale the term dictionary can
+    * exceed driver memory, so the cache is size-gated and large dicts fall
+    * back to a per-query pushdown-filtered scan.
+    */
+  private val DictCacheMaxTerms = 2000000L
+  @transient private lazy val dictCache: Option[Map[String, Long]] = {
+    val c = dict.count()
+    if (c <= DictCacheMaxTerms)
+      Some(dict.collect().map(d => d.term -> d.df).toMap)
+    else None
+  }
+
   /** Per-term (df, BM25 weight) for a query; terms absent from the dict
     * have df = 0 (they match nothing).
     */
   def termStats(terms: Seq[String]): Map[String, (Long, Float)] = {
     val n = stats.n
-    val dfs = dict.filter($"term".isin(terms: _*))
-      .collect().map(d => d.term -> d.df).toMap
+    val dfs = dictCache match {
+      case Some(m) => terms.map(t => t -> m.getOrElse(t, 0L)).toMap
+      case None => dict.filter($"term".isin(terms: _*))
+        .collect().map(d => d.term -> d.df).toMap
+    }
     terms.map { t =>
       val df = dfs.getOrElse(t, 0L)
       t -> (df, Bm25.weight(df, n))
