@@ -86,23 +86,42 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
         withSha.join(live.select($"repo", $"path", $"commit", $"contentSha"),
           Seq("repo", "path", "commit", "contentSha"), "left_anti")
     }
-    val freshCount = fresh.count()
-    if (freshCount == 0) return 0L
+    // Materialize the fresh rows ONCE to a staging dir before touching the
+    // tombstone files: the `fresh` plan scans the current tombstone
+    // parquet (via liveDocs), and appendTombstones below swaps those files
+    // out — re-evaluating the lazy plan afterwards would read deleted
+    // files. Staging also means the multi-generation anti-join runs once,
+    // not once per downstream action.
+    val gen = generations().count(_.contains("delta-")) + 1
+    val staging = s"${deltaPath(gen)}.staging"
+    rmDir(staging)
+    fresh.write.mode("overwrite").parquet(staging)
+    val freshDf = spark.read.parquet(staging)
+    val freshCount = freshDf.count()
+    if (freshCount == 0) { rmDir(staging); return 0L }
     // tombstone old versions of keys being re-added (update = delete+add,
     // reference indexes.rs:244 semantics)
     liveDocs().foreach { live =>
       val stale = live.join(
-        fresh.select($"repo", $"path", $"commit"),
+        freshDf.select($"repo", $"path", $"commit"),
         Seq("repo", "path", "commit"), "left_semi")
         .select($"docId")
       if (stale.limit(1).count() > 0) appendTombstones(stale)
     }
-    val gen = generations().count(_.contains("delta-")) + 1
     val offset = maxDocId()
     val builder = new IndexBuilder(spark, deltaPath(gen), bucketSize,
       docIdOffset = offset)
-    builder.build(fresh)
+    builder.build(freshDf)
+    rmDir(staging)
     freshCount
+  }
+
+  private def rmDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(path))
   }
 
   /** Delete every document of a repo (reference delete-by-repo,
@@ -145,7 +164,13 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
   def compact(): Unit = {
     val gens = generations()
     if (gens.isEmpty) return
+    // indexed docs only: metadata stubs store empty content (D7), so
+    // feeding them back through the builder would turn them into indexed
+    // empty documents and shift N/avgdl away from a true rebuild.
+    // Compaction therefore drops stubs (documented divergence: the
+    // reference re-creates stubs on the next sync sweep).
     val live = spark.read.parquet(gens.map(g => s"$g/docs"): _*)
+      .filter($"indexed")
       .join(readTombstones(), Seq("docId"), "left_anti")
       .select($"repo", $"path", $"commit", $"lang", $"content", $"contentSha")
     val newBase = s"$root/base-new"

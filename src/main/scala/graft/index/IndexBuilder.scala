@@ -318,16 +318,6 @@ object IndexBuilder {
     */
   val PathNsBit: Long = 1L << 62
 
-  /** Reference indexability filters (server/bleep/src/repo/iterator.rs:21-23,
-    * indexes/file.rs:723-729): ≤600 KB, ≤20 000 lines. Pure Column exprs →
-    * pushed into the scan.
-    */
-  def filterIndexable(corpus: DataFrame): DataFrame = {
-    import corpus.sparkSession.implicits._
-    corpus.filter(octet_length($"content") <= 600000 &&
-      size(split($"content", "\n", -1)) <= 20001)
-  }
-
   /** Per-doc field derivation (stage "docs" row transform). Oversize rows
     * (reference limits: >600 KB or >20 000 lines, repo/iterator.rs:21-23)
     * become metadata-only stubs: indexed=false, empty stored content —

@@ -45,6 +45,7 @@ object TextOps {
       col("doc_id"),
       size(words(col("text"))).cast("long").as("n_words"),
       ceil(col("n_chars") / 4.0).cast("long").as("n_bpe_est"))
+      .filter(col("n_words") > 0) // grouped SQL oracle has no zero-word rows
 
   /** Per-term document frequency — the dict-build analog (SURVEY §2.1 S7 /
     * dict stage) as a plain explode + two-level aggregate.
@@ -83,6 +84,7 @@ object TextOps {
         .as("avg_word_len"),
       round(size(array_distinct(ws)).cast("double") / greatest(size(ws), lit(1)), 4)
         .as("distinct_ratio"))
+      .filter(col("n_words") > 0) // grouped SQL oracle has no zero-word rows
   }
 
   /** Document fingerprinting: charHash of the full text (rolling hash over

@@ -116,11 +116,17 @@ object QueryParser {
       val term = c
       p.i += 1
       val sb = new StringBuilder
-      while (!p.eof && !(p.peek == term &&
-          (sb.isEmpty || sb.charAt(sb.length - 1) != '\\'))) {
-        sb.append(p.peek); p.i += 1
+      // explicit escape-state scan: a terminator after an ESCAPED
+      // backslash (e.g. "a\\") must still terminate
+      var esc = false
+      var done = false
+      while (!p.eof && !done) {
+        val ch = p.peek
+        if (esc) { sb.append(ch); p.i += 1; esc = false }
+        else if (ch == '\\') { sb.append(ch); p.i += 1; esc = true }
+        else if (ch == term) { p.i += 1; done = true }
+        else { sb.append(ch); p.i += 1 }
       }
-      if (!p.eof) p.i += 1 // consume terminator
       QLit(unescape(sb.toString, term), isRegex = term == '/')
     } else {
       val start = p.i

@@ -155,8 +155,23 @@ object RegexPlanner {
 
   private def planAtom(p: P): Fragment = p.next() match {
     case '(' =>
-      if (!p.eof && p.peek == '?') { // (?:...) / (?i) etc: skip modifiers
+      if (!p.eof && p.peek == '?') {
         p.next()
+        if (!p.eof && (p.peek == '=' || p.peek == '!' || p.peek == '<')) {
+          // lookaround: constrains position, not required content — skip
+          // the (nesting-aware) body entirely, require nothing
+          var depth = 1
+          while (!p.eof && depth > 0) {
+            p.next() match {
+              case '\\' => if (!p.eof) p.next()
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+            }
+          }
+          return Lit("")
+        }
+        // (?:...) group or (?flags) / (?flags:...) — skip the modifiers
         while (!p.eof && p.peek != ':' && p.peek != ')') p.next()
         if (!p.eof && p.peek == ':') p.next()
       }
@@ -193,7 +208,16 @@ object RegexPlanner {
     */
   private def planClass(p: P): Fragment = {
     if (!p.eof && p.peek == '^') {
-      while (!p.eof && p.next() != ']') ()
+      // negated class → Break; skip the body honoring escapes so an
+      // escaped \] does not end the class early
+      var done = false
+      while (!p.eof && !done) {
+        p.next() match {
+          case '\\' => if (!p.eof) p.next()
+          case ']' => done = true
+          case _ =>
+        }
+      }
       return Break
     }
     val chars = Vector.newBuilder[Char]

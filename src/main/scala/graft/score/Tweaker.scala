@@ -23,7 +23,9 @@ object Tweaker {
     if (langPresent) s *= 1000f // 1 + 999
     val lineLen = math.min(math.max(avgLineLength, 20.0), 1000.0).toFloat
     s /= lineLen
-    val age = math.min((now - lastCommit).toFloat, RecencyCap)
+    // lower clamp: now <= lastCommit (clock skew / frozen-now before the
+    // commit) must not divide by zero or flip the sign
+    val age = math.max(1f, math.min((now - lastCommit).toFloat, RecencyCap))
     s / age
   }
 }

@@ -99,10 +99,13 @@ object CodeTokenizer {
   def distinctTrigrams(s: String): Array[String] =
     distinctTrigrams(s, "")
 
-  /** Distinct trigrams as packed 48-bit codes (c0<<32 | c1<<16 | c2; for
-    * whole-string grams shorter than 3 chars the missing tail chars are 0).
-    * The shuffle-friendly form: a posting keyed by a long sorts and
-    * serializes several times cheaper than its 5-char string.
+  /** Distinct trigrams as packed codes: length (1–3) in bits 48–49, the
+    * UTF-16 chars in bits 0–47 (c0<<32 | c1<<16 | c2, left-aligned).
+    * Explicit length makes the decode exact even for grams containing NUL
+    * chars (a "\0\0\0" window would otherwise be indistinguishable from a
+    * short gram's zero padding). The shuffle-friendly form: a posting
+    * keyed by a long sorts and serializes several times cheaper than its
+    * 5-char string.
     */
   def distinctTrigramCodes(s: String): Array[Long] = {
     val n = s.length
@@ -112,15 +115,16 @@ object CodeTokenizer {
       var i = 0
       while (i < n) { code = (code << 16) | lowerChar(s.charAt(i)).toLong; i += 1 }
       code <<= 16 * (3 - n)
-      return Array(code)
+      return Array(code | (n.toLong << 48))
     }
     val set = new LongSet(math.min(1 << 16, Integer.highestOneBit(n) * 4))
+    val lenBits = 3L << 48
     var c0 = lowerChar(s.charAt(0))
     var c1 = lowerChar(s.charAt(1))
     var i = 2
     while (i < n) {
       val c2 = lowerChar(s.charAt(i))
-      set.add((c0.toLong << 32) | (c1.toLong << 16) | c2.toLong)
+      set.add(lenBits | (c0.toLong << 32) | (c1.toLong << 16) | c2.toLong)
       c0 = c1
       c1 = c2
       i += 1
@@ -131,17 +135,16 @@ object CodeTokenizer {
     out
   }
 
-  /** Decode a packed trigram code back to its string (inverse of
-    * distinctTrigramCodes; trailing 0 chars dropped).
+  /** Decode a packed trigram code back to its exact string (inverse of
+    * distinctTrigramCodes).
     */
   def decodeTrigram(code: Long): String = {
+    val len = ((code >>> 48) & 3).toInt
     val b = new Array[Char](3)
     b(0) = ((code >>> 32) & 0xffff).toChar
     b(1) = ((code >>> 16) & 0xffff).toChar
     b(2) = (code & 0xffff).toChar
-    var len = 3
-    while (len > 0 && b(len - 1) == 0) len -= 1
-    new String(b, 0, len)
+    new String(b, 0, if (len == 0) 3 else len)
   }
 
   /** As above, with each gram string built directly as `prefix + gram`
@@ -236,15 +239,18 @@ object CodeTokenizer {
   }
 
   /** Minimal open-addressing set of longs (power-of-two capacity, linear
-    * probing, 0 reserved as the empty marker — packed trigram codes are
-    * never 0 since chars ≥ 0x20). No boxing, no per-entry allocation.
+    * probing, 0 as the empty-slot marker with an explicit hasZero flag —
+    * a window of three NUL chars packs to code 0, so 0 IS a valid member
+    * for binary-ish content). No boxing, no per-entry allocation.
     */
   final class LongSet(initialCapacity: Int) {
     private var cap = math.max(16, Integer.highestOneBit(initialCapacity) * 2)
     private var table = new Array[Long](cap)
     private var n = 0
-    def size: Int = n
+    private var hasZero = false
+    def size: Int = n + (if (hasZero) 1 else 0)
     def add(v: Long): Unit = {
+      if (v == 0L) { hasZero = true; return }
       if (n * 4 >= cap * 3) grow()
       var idx = hash(v) & (cap - 1)
       while (true) {
@@ -255,6 +261,7 @@ object CodeTokenizer {
       }
     }
     def foreach(f: Long => Unit): Unit = {
+      if (hasZero) f(0L)
       var i = 0
       while (i < cap) { if (table(i) != 0L) f(table(i)); i += 1 }
     }

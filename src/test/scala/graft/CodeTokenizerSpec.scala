@@ -45,6 +45,20 @@ class CodeTokenizerSpec extends AnyFunSuite {
     assert(casePermutations("abcdef") == Seq("abcdef"))
   }
 
+  test("NUL trigram windows (code 0) survive the LongSet (regression)") {
+    // "\\0\\0\\0" packs to code 0 --- used to inflate LongSet.size without
+    // storing, leaving null slots / duplicate GramBucket rows that crashed
+    // the postings encoder on binary-ish content
+    val s = "a" + "\u0000\u0000\u0000\u0000" + "b"
+    val strs = distinctTrigrams(s)
+    assert(!strs.contains(null), s"null slots: ${strs.toSeq}")
+    assert(strs.length == strs.distinct.length)
+    val codes = distinctTrigramCodes(s)
+    assert(codes.length == codes.distinct.length)
+    assert(codes.length == strs.length)
+    assert(codes.map(decodeTrigram).toSet == strs.toSet)
+  }
+
   test("packed trigram codes roundtrip to the string trigram set (fuzz)") {
     (fuzzStrings(300) ++ Seq("", "a", "ab", "abc", "AbCd", "x y z")).foreach { s =>
       val strs = distinctTrigrams(s).toSet

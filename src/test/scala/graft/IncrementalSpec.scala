@@ -84,6 +84,45 @@ class IncrementalSpec extends AnyFunSuite {
     assert(liveForKey == 1L)
   }
 
+  test("second update-ingest after tombstones exist (tombstone-file swap regression)") {
+    // regression: `fresh` used to lazily scan the tombstone parquet that
+    // appendTombstones had already swapped out → FileNotFoundException
+    val root = TestSpark.tempDir("inc-6")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    def changed(idx: Int, token: String) = {
+      val v = corpusA.orderBy("repo", "path").limit(idx + 1).collect().last
+      Seq((v.getString(0), v.getString(1), v.getString(2), v.getString(3),
+        s"$token fresh content\n"))
+        .toDF("repo", "path", "commit", "lang", "content")
+    }
+    assert(inc.ingest(changed(0, "tokaaa")) == 1L)
+    assert(inc.ingest(changed(1, "tokbbb")) == 1L) // used to crash here
+    val ms = inc.searcher()
+    assert(ms.search(Seq("tokaaa"), 5, conjunctive = true, useWand = false)
+      .count() == 1)
+    assert(ms.search(Seq("tokbbb"), 5, conjunctive = true, useWand = false)
+      .count() == 1)
+  }
+
+  test("compact() with oversize stubs does not resurrect them as indexed docs") {
+    val root = TestSpark.tempDir("inc-7")
+    val big = ("stubtok " * 80000) + "\n" // > 600 KB
+    val withStub = corpusA
+      .select("repo", "path", "commit", "lang", "content")
+      .unionByName(Seq(("github.com/stub/r", "huge.bin", "cafe", "go", big))
+        .toDF("repo", "path", "commit", "lang", "content"))
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(withStub)
+    assert(inc.searcher().stats.n == corpusA.count()) // stub not counted
+    inc.compact()
+    val after = inc.searcher()
+    assert(after.stats.n == corpusA.count(),
+      "compaction must not turn a stub into an indexed empty doc")
+    assert(after.docs.filter(org.apache.spark.sql.functions.col("indexed") === false)
+      .count() == 0) // stubs dropped at compaction (documented)
+  }
+
   test("delete-by-repo tombstones every doc of the repo (S8)") {
     val root = TestSpark.tempDir("inc-4")
     val inc = new IncrementalIndexer(spark, root, bucketSize = 64)

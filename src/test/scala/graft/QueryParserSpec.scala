@@ -72,6 +72,14 @@ class QueryParserSpec extends AnyFunSuite {
     assert(t.value == "\\Qfoo\\E\\s+\\Qbar\\E")
   }
 
+  test("escaped backslash before closing quote terminates (regression)") {
+    // content:"a\\" lang:rust — the quote after an ESCAPED backslash ends
+    // the literal; lang must survive
+    val q = parse("content:\"a\\\\\" lang:rust")
+    assert(q.head.target.contains(ContentTarget(QLit("a\\", false))))
+    assert(q.head.lang.contains("rust"))
+  }
+
   test("unescape (parser.rs:444-467)") {
     assert(unescape("a\\nb", '"') == "a\nb")
     assert(unescape("a\\tb", '\'') == "a\tb")

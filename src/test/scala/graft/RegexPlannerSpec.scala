@@ -81,6 +81,22 @@ class RegexPlannerSpec extends AnyFunSuite {
     assert(plan("[^x]") == Break)
   }
 
+  test("negated class with escaped ] does not leak literals (regression)") {
+    // [^\]]abc matches "xabc": the prefilter must not require "]ab"
+    val g = requiredGrams(plan("[^\\]]abc"))
+    assert(g.forall("xabc".contains), s"non-superset grams: $g")
+    assert(g == Set("abc"))
+  }
+
+  test("lookarounds require nothing (regression)") {
+    // (?!foo:bar)baz matches "baz " not followed by foo:bar — grams of the
+    // lookahead body must not be required
+    val g = requiredGrams(plan("(?!foo:bar)bazqux"))
+    assert(g == Set("baz", "azq", "zqu", "qux"), s"$g")
+    val g2 = requiredGrams(plan("(?<=pre:fix)tail"))
+    assert(g2 == Set("tai", "ail"), s"$g2")
+  }
+
   test("\\Q…\\E quotation (fused content targets, parser.rs:104-112)") {
     val f = plan("\\Qmerge\\E\\s+\\Qjoin\\E")
     assert(f == And(Vector(Lit("merge"), Break, Lit("join"))))
