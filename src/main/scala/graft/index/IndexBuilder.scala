@@ -311,7 +311,7 @@ object IndexBuilder {
   /** Index layout version — bump on any schema/codec/tokenizer-spec change
     * so cached index directories cannot be resumed across layouts.
     */
-  val FormatVersion = "graft-index-v1"
+  val FormatVersion = "graft-index-v2"
 
   /** Namespace bit for packed trigram codes: set = "p:" (path), clear =
     * "g:" (content). Codes use 48 low bits (3 UTF-16 chars).
