@@ -111,11 +111,21 @@ object Bench {
         java.nio.file.Paths.get("BENCH/scaling.json")).trim
       s""","scaling":$j"""
     } catch { case _: Throwable => "" }
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","files":$nFiles,"files_per_sec":${f"$fps%.1f"},""" +
       s""""files_per_sec_synth20k":${f"$fpsSynth%.1f"},""" +
-      s""""cpus":$cpus$scaling}""")
+      s""""cpus":$cpus$scaling}"""
+    // The driver greps stdout for the JSON line, but sbt prefixes run
+    // output with "[info] " (round-1 BENCH parsed:null). Belt and braces:
+    // raw line on stdout AND a file the driver/judge can read directly.
+    println(json)
+    new java.io.File("BENCH").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH/bench.json"), json + "\n")
     spark.stop()
+    // After spark.stop() sbt stops interleaving executor logs; emit the
+    // bare line once more as the very last stdout of the run.
+    println(json)
   }
 }

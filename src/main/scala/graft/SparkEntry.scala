@@ -295,7 +295,7 @@ object SparkEntry {
            |wh AS (SELECT doc_id, tf, ${charHash("w")} AS wh FROM tf),
            |votes AS (SELECT doc_id, bit, sum(tf * (((wh // CAST(pow(2,bit) AS BIGINT)) % 2)*2 - 1)) AS v
            |          FROM wh CROSS JOIN (SELECT unnest(range(0,16)) AS bit) GROUP BY doc_id, bit)
-           |SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(pow(2,bit) AS BIGINT) ELSE 0 END) AS simhash
+           |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2,bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
            |FROM votes GROUP BY doc_id""".stripMargin,
       "q_minhash_pairs" ->
         s"""WITH wh AS (SELECT DISTINCT doc_id, ${charHash("w")} AS wh FROM ($words)),

@@ -140,27 +140,52 @@ class Searcher(@transient val spark: SparkSession, val indexRoot: String) {
     scoreAll(terms, weights, conjunctive)
       .orderBy($"score".desc, $"docId".asc).limit(k)
 
+  /** Tombstoned docIds, sorted, when small enough to ship to executors —
+    * MultiSearcher overrides with its size-gated set; the plain Searcher
+    * has none. Drives the dead-doc skip inside the WAND scorers (a dead
+    * doc must never occupy a local top-k slot, or it starves live docs
+    * below k).
+    */
+  protected def deadDocIdsSorted: Array[Long] = Array.emptyLongArray
+
   /** Block-max WAND / conjunctive path: postings of the query terms are
     * re-keyed by bucket so each task sees complete runs for its docId
     * range, evaluates with block skipping, and emits a local top-k.
+    *
+    * A (term, bucket) group may hold several runs — one per index
+    * generation under a MultiSearcher (delta docIds are offset past the
+    * base, so same-bucket runs from different generations cover disjoint
+    * ascending docId ranges). They merge into ONE cursor by concatenating
+    * blocks in firstDocId order — the bucket-order concatenation argument
+    * of Model.PostingRun applied across generations.
     */
   def wandTopK(terms: Seq[String], weights: Map[String, Float], k: Int,
                conjunctive: Boolean): Dataset[Hit] = {
     val bW = spark.sparkContext.broadcast(weights)
+    val bDead = spark.sparkContext.broadcast(deadDocIdsSorted)
     val avgdl = stats.avgdl.toFloat
     val nTerms = terms.size
     val candidates = postings.filter($"term".isin(terms: _*))
       .groupByKey(_.bucket)
       .flatMapGroups { (_, runs) =>
         val normCache = Searcher.normCacheFor(avgdl)
-        val cursors = runs.toArray.sortBy(_.term).map { r =>
-          new BlockCursor(r.term, bW.value(r.term), r.blocks.toIndexedSeq,
-            normCache)
-        }
+        val deadArr = bDead.value
+        val dead: Long => Boolean =
+          if (deadArr.isEmpty) _ => false
+          else id => java.util.Arrays.binarySearch(deadArr, id) >= 0
+        val cursors = runs.toArray.groupBy(_.term).toArray.sortBy(_._1)
+          .map { case (t, rs) =>
+            val blocks =
+              if (rs.length == 1) rs(0).blocks.toIndexedSeq
+              else rs.sortBy(r => r.blocks.headOption
+                  .map(_.firstDocId).getOrElse(Long.MaxValue))
+                .flatMap(_.blocks).toIndexedSeq
+            new BlockCursor(t, bW.value(t), blocks, normCache)
+          }
         if (conjunctive && cursors.length != nTerms) Iterator.empty
         else if (conjunctive)
-          BmwScorer.conjunctive(cursors, k)
-        else BmwScorer.wand(cursors, k)
+          BmwScorer.conjunctive(cursors, k, dead)
+        else BmwScorer.wand(cursors, k, dead)
       }
     candidates.orderBy($"score".desc, $"docId".asc).limit(k)
   }
@@ -405,7 +430,8 @@ object BmwScorer {
     * ascending docId order, so equal-score later candidates lose the
     * (score desc, docId asc) tie-break — pruning on strict `>` is exact.
     */
-  def conjunctive(cursors: Array[BlockCursor], k: Int): Iterator[Hit] = {
+  def conjunctive(cursors: Array[BlockCursor], k: Int,
+                  dead: Long => Boolean = _ => false): Iterator[Hit] = {
     if (cursors.isEmpty || cursors.exists(_.exhausted)) return Iterator.empty
     val topk = new TopK(k)
     var live = true
@@ -426,15 +452,17 @@ object BmwScorer {
         i += 1
       }
       if (live && aligned) {
-        // blockMax prune: cheap upper bound before full scoring
-        var ub = 0f
-        i = 0
-        while (i < cursors.length) { ub += cursors(i).currentBlockMax; i += 1 }
-        if (ub > topk.threshold) {
-          var s = 0f
+        if (!dead(target)) {
+          // blockMax prune: cheap upper bound before full scoring
+          var ub = 0f
           i = 0
-          while (i < cursors.length) { s += cursors(i).score; i += 1 }
-          topk.offer(Hit(target, s))
+          while (i < cursors.length) { ub += cursors(i).currentBlockMax; i += 1 }
+          if (ub > topk.threshold) {
+            var s = 0f
+            i = 0
+            while (i < cursors.length) { s += cursors(i).score; i += 1 }
+            topk.offer(Hit(target, s))
+          }
         }
         cursors(0).next()
         if (cursors(0).exhausted) live = false
@@ -444,7 +472,8 @@ object BmwScorer {
   }
 
   /** WAND (weak-AND / OR semantics) with block-max pruning. */
-  def wand(cursors0: Array[BlockCursor], k: Int): Iterator[Hit] = {
+  def wand(cursors0: Array[BlockCursor], k: Int,
+           dead: Long => Boolean = _ => false): Iterator[Hit] = {
     val topk = new TopK(k)
     var cursors = cursors0.filterNot(_.exhausted)
     while (cursors.nonEmpty) {
@@ -471,14 +500,16 @@ object BmwScorer {
           // full score in ascending TERM order for f32 determinism
           val matching = cursors.filter(c => !c.exhausted && c.docId == pivotDoc)
             .sortBy(_.term)
-          var ub = 0f
-          var j = 0
-          while (j < matching.length) { ub += matching(j).currentBlockMax; j += 1 }
-          if (ub > topk.threshold) {
-            var s = 0f
-            j = 0
-            while (j < matching.length) { s += matching(j).score; j += 1 }
-            topk.offer(Hit(pivotDoc, s))
+          if (!dead(pivotDoc)) {
+            var ub = 0f
+            var j = 0
+            while (j < matching.length) { ub += matching(j).currentBlockMax; j += 1 }
+            if (ub > topk.threshold) {
+              var s = 0f
+              j = 0
+              while (j < matching.length) { s += matching(j).score; j += 1 }
+              topk.offer(Hit(pivotDoc, s))
+            }
           }
           matching.foreach(_.next())
           cursors = cursors.filterNot(_.exhausted)

@@ -119,7 +119,11 @@ class IndexBuilder(
     val idOffset = docIdOffset // delta generations start past the base
     keyed
       .repartition(p, $"bucket")
-      .sortWithinPartitions("bucket", "docKey")
+      // contentSha as final sort key: duplicate docKeys (same repo/path/
+      // commit, different content) would otherwise get a nondeterministic
+      // relative order, breaking byte-determinism of resume/scaling runs
+      // (round-1 ADVICE). OracleEngine mirrors this sort.
+      .sortWithinPartitions("bucket", "docKey", "contentSha")
       .mapPartitions { it =>
         // a hash partition may hold several buckets; they arrive contiguous
         var curBucket = -1
@@ -311,7 +315,7 @@ object IndexBuilder {
   /** Index layout version — bump on any schema/codec/tokenizer-spec change
     * so cached index directories cannot be resumed across layouts.
     */
-  val FormatVersion = "graft-index-v2"
+  val FormatVersion = "graft-index-v3"
 
   /** Namespace bit for packed trigram codes: set = "p:" (path), clear =
     * "g:" (content). Codes use 48 low bits (3 UTF-16 chars).
@@ -343,17 +347,26 @@ object IndexBuilder {
       lineEnds, indexed = true)
   }
 
-  /** Pure predicate form of the reference indexability limits. */
+  /** Pure predicate form of the reference indexability limits. Surrogate
+    * pairs count as the 4 UTF-8 bytes they encode to, not 3+3 (round-1
+    * ADVICE: astral-plane content near the 600 KB limit was over-rejected).
+    */
   def isIndexable(content: String): Boolean = {
-    if (content.length > 600000) return false // chars >= bytes check below
     var bytes = 0L
     var lines = 1
     var i = 0
     while (i < content.length) {
       val c = content.charAt(i)
-      bytes += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
-      if (c == '\n') lines += 1
-      i += 1
+      if (Character.isHighSurrogate(c) && i + 1 < content.length &&
+          Character.isLowSurrogate(content.charAt(i + 1))) {
+        bytes += 4
+        i += 2
+      } else {
+        bytes += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
+        if (c == '\n') lines += 1
+        i += 1
+      }
+      if (bytes > 600000) return false
     }
     bytes <= 600000 && lines <= 20001
   }

@@ -32,8 +32,9 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
     // — must mirror IndexBuilder.withDocIds exactly. Rows beyond the
     // indexability limits become metadata-only stubs (D7), same as the
     // engine's buildDoc.
-    rows.sortBy { case (r, p, c, _, _) =>
-      graft.corpus.CorpusGen.sha256Hex(r + "\u0000" + p + "\u0000" + c)
+    rows.sortBy { case (r, p, c, _, content) =>
+      (graft.corpus.CorpusGen.sha256Hex(r + "\u0000" + p + "\u0000" + c),
+        graft.corpus.CorpusGen.sha256Hex(content)) // duplicate-docKey tiebreak
     }
       .zipWithIndex.map { case ((r, p, c, l, content), i) =>
         if (!graft.index.IndexBuilder.isIndexable(content))

@@ -183,23 +183,90 @@ object RegexPlanner {
     case '^' | '$' => Break // anchors constrain position, not content
     case '\\' =>
       if (p.eof) Break
-      else p.next() match {
-        case 'n' => Lit("\n")
-        case 't' => Lit("\t")
-        case 'r' => Lit("\r")
-        case 'Q' => // \Q…\E quotation (java.util.regex / Pattern.quote)
-          val sb = new StringBuilder
-          var done = false
-          while (!p.eof && !done) {
-            val c = p.next()
-            if (c == '\\' && !p.eof && p.peek == 'E') { p.next(); done = true }
-            else sb.append(c)
-          }
-          Lit(sb.toString)
-        case 'b' | 'B' | 'w' | 'W' | 'd' | 'D' | 's' | 'S' | 'A' | 'z' => Break
-        case c => Lit(c.toString)
+      else if (p.peek == 'Q') { // \Q…\E quotation (java.util.regex)
+        p.next()
+        val sb = new StringBuilder
+        var done = false
+        while (!p.eof && !done) {
+          val c = p.next()
+          if (c == '\\' && !p.eof && p.peek == 'E') { p.next(); done = true }
+          else sb.append(c)
+        }
+        Lit(sb.toString)
+      } else decodeEscape(p) match {
+        case Some(s) => Lit(s)
+        case None => Break
       }
     case c => Lit(c.toString)
+  }
+
+  @inline private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** Decode one escape sequence positioned AFTER the backslash.
+    *
+    * Some(s): the escape denotes exactly the literal string s (its full
+    * argument consumed — \x41, A, \0101 decode to their char so the
+    * prefilter keeps its strength). None: a content-class / positional /
+    * backref escape (\w \d \b \p{L} \1 \cX …) whose matched text is not a
+    * fixed literal — the caller must emit Break. The argument is consumed
+    * in BOTH cases: leaving `41` of an undecoded \x41 in the stream would
+    * fuse into a FALSE required literal and silently drop matching docs
+    * (round-1 ADVICE, high).
+    */
+  private def decodeEscape(p: P): Option[String] = p.next() match {
+    case 'n' => Some("\n")
+    case 't' => Some("\t")
+    case 'r' => Some("\r")
+    case 'f' => Some("\f")
+    case 'a' => Some("\u0007")
+    case 'e' => Some("\u001b")
+    case '0' => // octal \0n \0nn \0mnn
+      var v = 0
+      var n = 0
+      while (n < 3 && !p.eof && p.peek >= '0' && p.peek <= '7' &&
+          (n < 2 || v <= 31)) {
+        v = v * 8 + (p.next() - '0'); n += 1
+      }
+      if (n == 0) None else Some(v.toChar.toString)
+    case 'x' =>
+      if (!p.eof && p.peek == '{') { // \x{h…h}
+        p.next()
+        val sb = new StringBuilder
+        while (!p.eof && p.peek != '}') sb.append(p.next())
+        if (!p.eof) p.next()
+        try Some(new String(Character.toChars(
+          Integer.parseInt(sb.toString, 16))))
+        catch { case _: Throwable => None }
+      } else {
+        val sb = new StringBuilder
+        while (sb.length < 2 && !p.eof && isHex(p.peek)) sb.append(p.next())
+        if (sb.length == 2)
+          Some(Integer.parseInt(sb.toString, 16).toChar.toString)
+        else None
+      }
+    case 'u' =>
+      val sb = new StringBuilder
+      while (sb.length < 4 && !p.eof && isHex(p.peek)) sb.append(p.next())
+      if (sb.length == 4)
+        Some(Integer.parseInt(sb.toString, 16).toChar.toString)
+      else None
+    case 'c' => // control char \cX
+      if (!p.eof) p.next()
+      None
+    case 'p' | 'P' => // unicode class \pL / \p{…}: consume the spec
+      if (!p.eof && p.peek == '{') { while (!p.eof && p.next() != '}') () }
+      else if (!p.eof) p.next()
+      None
+    case 'k' => // named backref \k<name>
+      if (!p.eof && p.peek == '<') { while (!p.eof && p.next() != '>') () }
+      None
+    case c if c >= '1' && c <= '9' => // numbered backref
+      while (!p.eof && p.peek.isDigit) p.next()
+      None
+    case c if (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        c.isDigit => None // unknown alphanumeric escape: never a literal
+    case c => Some(c.toString) // escaped punctuation IS the literal char
   }
 
   /** Char class: expanded to an alternation of single-char literals when it
@@ -224,15 +291,23 @@ object RegexPlanner {
     var count = 0
     var broken = false
     var first = true
+    // single decoded char, or ' ' with broken=true for class escapes
+    // (\d, \p{L}, …) — same false-literal hazard as planAtom (ADVICE high)
+    def classChar(): Char = {
+      val c = p.next()
+      if (c != '\\' || p.eof) c
+      else decodeEscape(p) match {
+        case Some(s) if s.length == 1 => s.charAt(0)
+        case _ => broken = true; ' '
+      }
+    }
     while (!p.eof && (p.peek != ']' || first)) {
       first = false
-      var c = p.next()
-      if (c == '\\' && !p.eof) c = p.next()
+      val c = classChar()
       if (!p.eof && p.peek == '-' && p.i + 1 < p.s.length &&
           p.s.charAt(p.i + 1) != ']') {
         p.next()
-        var hi = p.next()
-        if (hi == '\\' && !p.eof) hi = p.next()
+        val hi = classChar()
         if (hi >= c && hi - c + 1 + count <= MaxClassSize) {
           (c to hi).foreach(chars += _)
           count += hi - c + 1
