@@ -145,60 +145,86 @@ object SparkEntry {
         .agg(count("*").as("n"),
           round(min("value"), 4).as("min_v"),
           round(max("value"), 4).as("max_v"))),
-    // ---- engine queries (rows-only check; rank-identity in sbt test)
-    "e_index_search" -> ((s, d) => {
+    // ---- engine queries. Every e_* row has a DuckDB oracle (round-1
+    // VERDICT item 1): docIds mirror via the sha256 rank (withDocIds is
+    // order-preserving in the docKey hex string), the documents text is
+    // single-spaced lowercase words so code tokens == string_split words,
+    // and f32-ranked outputs are either exported as FULL match sets
+    // (k ≥ corpus, set equality is precision-free) or re-scored through
+    // the double-precision witness (searchDoubleWitness). f32 rank
+    // identity itself stays enforced by the sbt suite (EngineSpec).
+    "e_docid_map" -> ((s, d) => // withDocIds global rank, end to end
+      indexFor(s, d).docs.select("docId", "repo", "path", "commit", "lang")),
+    "e_index_search" -> ((s, d) => { // WAND conjunctive, full match set
       val se = indexFor(s, d)
-      se.materialize(se.searchLiteral("merge join", 20))
-        .select("docId", "score", "repo", "path")
+      se.materialize(se.searchLiteral("merge join", AllK))
+        .select("docId", "repo", "path")
     }),
-    "e_index_wand_or" -> ((s, d) => {
+    "e_index_topk_double" -> ((s, d) => // BM25 through the index artifacts
+      indexFor(s, d).searchDoubleWitness("merge", "join", 50)),
+    "e_index_wand_or" -> ((s, d) => { // WAND OR, full match set
       val se = indexFor(s, d)
-      se.search(Seq("vector", "stream", "window"), 20,
+      se.search(Seq("vector", "stream", "window"), AllK,
         conjunctive = false, useWand = true).toDF()
+        .join(se.docs.select("docId", "repo", "path"), "docId")
+        .select("docId", "repo", "path")
     }),
-    "e_index_regex" -> ((s, d) =>
-      indexFor(s, d).searchRegex("merge (join|sort)", 20)),
-    "e_tweaked_search" -> ((s, d) => {
-      // DocumentTweaker factors (frozen now — SURVEY §2.8/7.3)
-      indexFor(s, d).searchLiteralTweaked("merge join", 20, 1700000000L).toDF()
-    }),
-    "e_lang_stats" -> ((s, d) => {
+    "e_index_regex" -> ((s, d) => // two-phase regex, full verified set
+      indexFor(s, d).regexAll("merge (join|sort)")
+        .select("docId", "repo", "path")),
+    "e_tweaked_search" -> ((s, d) => // DocumentTweaker, double witness
+      indexFor(s, d).searchDoubleWitness("merge", "join", 50,
+        tweakedNow = Some(1700000000L))),
+    "e_lang_stats" -> ((s, d) => { // FrequencyCollector over full hit set
       val se = indexFor(s, d)
-      se.langStats(se.searchLiteral("merge", 1000).toDF())
+      se.langStats(se.searchLiteral("merge", AllK).toDF())
     }),
-    "e_query_language" -> ((s, d) => {
+    "e_query_language" -> ((s, d) => { // parse→DNF→branch union, full set
       val se = indexFor(s, d)
       new graft.engine.QueryExecutor(se)
-        .execute("(lang:en or lang:de) merge join", 20).toDF()
+        .execute("(lang:en or lang:de) merge join", AllK).toDF()
+        .join(se.docs.select("docId", "repo", "path", "lang"), "docId")
+        .select("docId", "repo", "path", "lang")
     }),
-    "e_symbol_search" -> ((s, d) => {
-      // documents text has no code defs; run over the synthetic code corpus
-      val root = s"/tmp/graft-symidx"
-      new graft.index.IndexBuilder(s, root, bucketSize = 1024)
-        .build(graft.corpus.CorpusGen.synth(s, 20, 20))
-      new graft.engine.QueryExecutor(new Searcher(s, root))
-        .execute("symbol:read", 20).toDF()
+    "e_path_search" -> ((s, d) => { // scored path field ∧ content, full set
+      val se = indexFor(s, d)
+      new graft.engine.QueryExecutor(se)
+        .execute("path:oc/1 merge", AllK).toDF()
+        .join(se.docs.select("docId", "repo", "path"), "docId")
+        .select("docId", "repo", "path")
     }),
+    "e_symbol_search" -> ((s, d) => { // "s:" namespace over derived code
+      val se = codeIndexFor(s, d)
+      new graft.engine.QueryExecutor(se)
+        .execute("symbol:merge", AllK).toDF()
+        .join(se.docs.select("docId", "repo", "path"), "docId")
+        .select("repo", "path")
+    }),
+    "e_open_listing" -> ((s, d) => // D6 dir documents / OpenReader
+      new graft.engine.QueryExecutor(indexFor(s, d))
+        .executeOpen("open:true repo:src2 path:doc/")),
     "e_fuzzy_path" -> ((s, d) => {
       import s.implicits._
       FuzzyPath.search(indexFor(s, d), "doc1", 20)
         .toDF("docId", "path", "repo", "fuzzy_score")
     }),
-    "e_snippets" -> ((s, d) => {
+    "e_snippets" -> ((s, d) => { // Snipper over every regex match
       import s.implicits._
-      val se = indexFor(s, d)
-      val top = se.materialize(se.searchLiteral("merge join", 5))
-        .select("docId", "content", "lineEnds").collect()
-      top.map { r =>
-        val snips = graft.engine.Snippets.forDoc(r.getString(1),
-          r.getSeq[Int](2).toArray, "merge\\s+join")
-        (r.getLong(0), snips.size,
+      val rows = indexFor(s, d).regexAll("merge\\s+join")
+        .select($"docId", $"repo", $"path", $"content", $"lineEnds")
+        .collect()
+      rows.map { r =>
+        val snips = graft.engine.Snippets.forDoc(r.getString(3),
+          r.getSeq[Int](4).toArray, "merge\\s+join")
+        (r.getLong(0), r.getString(1), r.getString(2), snips.size,
+          snips.map(_.highlights.size).sum,
           snips.headOption.map(_.data.take(60)).getOrElse(""))
-      }.toSeq.toDF("docId", "n_snippets", "first_snippet")
+      }.toSeq.toDF("docId", "repo", "path", "n_snippets", "n_highlights",
+        "first_snippet")
     }),
     "e_incremental" -> ((s, d) => {
       // base on the first half, ingest the second, delete one source repo,
-      // search across generations (D2 + S8 + multi-segment semantics)
+      // search across generations with tombstone-aware WAND (D2 + S8)
       val all = corpusFromDocuments(s, d)
       val root = s"/tmp/graft-inc-${d.replaceAll("[^a-zA-Z0-9.]", "_")}"
       Bench.freshDir(root)
@@ -207,9 +233,9 @@ object SparkEntry {
       inc.ingest(all.filter(col("path") >= lit("doc/3")))
       inc.deleteRepo("src0")
       val ms = inc.searcher()
-      ms.materialize(ms.search(ms.queryTerms("merge join"), 20,
-        conjunctive = true, useWand = false))
-        .select("docId", "score", "repo", "path")
+      ms.materialize(ms.search(ms.queryTerms("merge join"), AllK,
+        conjunctive = true, useWand = true))
+        .select("repo", "path")
     }),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(emb(s, d), 0L, 10)),
     "e_media_features" -> ((s, _) =>
@@ -218,6 +244,31 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.synthMedia(s, 300), 4)
         .select(col("media_id"), size(col("frame_indices")).as("n_sampled"))),
   )
+
+  /** k larger than any small-SF corpus: turns a top-k query into its full
+    * match set, which is comparable by set equality (no f32 boundary).
+    */
+  private val AllK = 1000000
+
+  /** Derived code corpus with SQL-mirrorable symbol definitions: one `fn
+    * <firstword>_run()` per document row — real SymbolExtractor + "s:"
+    * indexing on the Spark side, `split_part(text,' ',1)` on the oracle
+    * side.
+    */
+  private def codeCorpus(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("source").as("repo"),
+      concat(lit("code/"), col("doc_id")).as("path"),
+      lit("main").as("commit"),
+      col("lang"),
+      concat(lit("fn "), split_part(col("text"), lit(" "), lit(1)),
+        lit("_run() { return 0 }")).as("content"))
+
+  private def codeIndexFor(s: SparkSession, d: String): Searcher = {
+    val root = s"/tmp/graft-codeidx-${d.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    new IndexBuilder(s, root, bucketSize = 1024).build(codeCorpus(s, d))
+    new Searcher(s, root)
+  }
 
   /** SQL-parity BM25 (double precision, quantization-free): an independent
     * DuckDB-checkable witness of the scoring math. Conjunctive two-term
@@ -254,6 +305,49 @@ object SparkEntry {
       "SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) WHERE w <> ''"
     val charHash = (v: String) =>
       s"list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split($v,'')]), (a,c) -> (a*31+c) % 1000000007)"
+    // docId mirror of IndexBuilder.withDocIds: the rank bucket is a
+    // MONOTONE function of the docKey's first 8 hex chars, so the global
+    // (bucket, docKey) order equals plain docKey hex order — one
+    // row_number over sha256(repo ∥ NUL ∥ path ∥ NUL ∥ commit).
+    val ids =
+      """corpus AS (
+        |  SELECT source AS repo, 'doc/' || doc_id AS path,
+        |         substr(sha256(text),1,40) AS cmt, lang, text AS content,
+        |         n_chars
+        |  FROM documents),
+        |ids AS (
+        |  SELECT CAST(row_number() OVER (
+        |           ORDER BY sha256(repo || chr(0) || path || chr(0) || cmt))
+        |         AS BIGINT) AS "docId",
+        |         repo, path, cmt, lang, content, n_chars
+        |  FROM corpus)""".stripMargin
+    // the documents text is single-spaced lowercase words: code tokens ==
+    // string_split words (checked by EngineSpec's tokenizer-parity test)
+    val idWords =
+      s"""$ids,
+         |idw AS (SELECT "docId", w FROM (
+         |    SELECT "docId", unnest(string_split(content,' ')) AS w FROM ids)
+         |  WHERE w <> '')""".stripMargin
+    val mergeJoin =
+      """,
+        |mm AS (SELECT "docId" FROM idw WHERE w IN ('merge','join')
+        |       GROUP BY "docId" HAVING count(DISTINCT w) = 2)""".stripMargin
+    // shared double-BM25 witness CTE chain (mirror of searchDoubleWitness)
+    val bmw =
+      s"""$idWords,
+         |lens AS (SELECT "docId", count(*) AS dl FROM idw GROUP BY "docId"),
+         |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM lens),
+         |tf AS (SELECT "docId", w, count(*) AS tf FROM idw GROUP BY "docId", w),
+         |s1 AS (SELECT "docId", tf AS tf1 FROM tf WHERE w = 'merge'),
+         |s2 AS (SELECT "docId", tf AS tf2 FROM tf WHERE w = 'join'),
+         |d1 AS (SELECT count(*) AS df1 FROM s1),
+         |d2 AS (SELECT count(*) AS df2 FROM s2)""".stripMargin
+    val bmwScore =
+      """ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5)) * 2.2 * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+        |  ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5)) * 2.2 * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl))""".stripMargin
+    val bmwFrom =
+      """FROM s1 JOIN s2 USING ("docId") JOIN lens USING ("docId") JOIN ids i USING ("docId")
+        |CROSS JOIN stats CROSS JOIN d1 CROSS JOIN d2""".stripMargin
     Map(
       "q_count" -> "SELECT count(*) AS n FROM documents",
       "q_lang_freq" ->
@@ -369,6 +463,100 @@ object SparkEntry {
         """SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket,
           |  count(*) AS n, round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
           |FROM events GROUP BY event_type, CAST(floor(epoch(ts)/3600) AS BIGINT)""".stripMargin,
+      // ---- engine oracles (round-2: every e_* row driver-checkable)
+      "e_docid_map" ->
+        s"""WITH $ids SELECT "docId", repo, path, cmt AS "commit", lang FROM ids""",
+      "e_index_search" ->
+        s"""WITH $idWords$mergeJoin
+           |SELECT i."docId", i.repo, i.path FROM ids i JOIN mm USING ("docId")""".stripMargin,
+      "e_index_topk_double" ->
+        s"""WITH $bmw
+           |SELECT i."docId", i.repo, i.path, round(
+           |  $bmwScore, 4) AS score
+           |$bmwFrom
+           |ORDER BY score DESC, "docId" LIMIT 50""".stripMargin,
+      "e_tweaked_search" ->
+        s"""WITH $bmw
+           |SELECT i."docId", i.repo, i.path, round(
+           |  ($bmwScore)
+           |  * 1000.0 / greatest(20.0, least(CAST(i.n_chars AS DOUBLE), 1000.0))
+           |  / greatest(1.0, least(1700000000.0, 5000000.0)), 12) AS score
+           |$bmwFrom
+           |ORDER BY score DESC, "docId" LIMIT 50""".stripMargin,
+      "e_index_wand_or" ->
+        s"""WITH $idWords
+           |SELECT DISTINCT i."docId", i.repo, i.path FROM ids i JOIN idw USING ("docId")
+           |WHERE idw.w IN ('vector','stream','window')""".stripMargin,
+      "e_index_regex" ->
+        s"""WITH $ids
+           |SELECT "docId", repo, path FROM ids WHERE regexp_matches(content, 'merge (join|sort)')""".stripMargin,
+      "e_lang_stats" ->
+        s"""WITH $idWords
+           |SELECT lang, count(*) AS "count" FROM ids
+           |WHERE "docId" IN (SELECT "docId" FROM idw WHERE w = 'merge') GROUP BY lang""".stripMargin,
+      "e_query_language" ->
+        s"""WITH $ids
+           |SELECT "docId", repo, path, lang FROM ids
+           |WHERE lang IN ('en','de') AND regexp_matches(content, 'merge\\s+join')""".stripMargin,
+      "e_path_search" ->
+        s"""WITH $idWords
+           |SELECT i."docId", i.repo, i.path FROM ids i
+           |WHERE contains(i.path, 'oc/1')
+           |  AND i."docId" IN (SELECT "docId" FROM idw WHERE w = 'merge')""".stripMargin,
+      "e_symbol_search" ->
+        """SELECT source AS repo, 'code/' || doc_id AS path
+          |FROM documents WHERE split_part(text, ' ', 1) = 'merge'""".stripMargin,
+      "e_open_listing" ->
+        """SELECT source AS repo, 'doc/' || doc_id AS entry,
+          |false AS is_dir FROM documents WHERE source = 'src2'""".stripMargin,
+      "e_fuzzy_path" ->
+        s"""WITH $ids
+           |SELECT "docId", path, repo,
+           |  CAST(84 + CASE WHEN substr(path,5,1) = '1' THEN 4 ELSE 0 END
+           |       - length(path) AS INT) AS fuzzy_score
+           |FROM ids WHERE path LIKE 'doc/%1%'
+           |ORDER BY fuzzy_score DESC, "docId" LIMIT 20""".stripMargin,
+      "e_snippets" ->
+        s"""WITH $ids
+           |SELECT "docId", repo, path, CAST(1 AS INT) AS n_snippets,
+           |  CAST(len(regexp_extract_all(content, 'merge\\s+join')) AS INT) AS n_highlights,
+           |  substr(content, 1, 60) AS first_snippet
+           |FROM ids WHERE regexp_matches(content, 'merge\\s+join')""".stripMargin,
+      "e_incremental" ->
+        """SELECT source AS repo, 'doc/' || doc_id AS path FROM documents
+          |WHERE source <> 'src0' AND doc_id IN (
+          |  SELECT doc_id FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+          |  WHERE w IN ('merge','join') GROUP BY doc_id HAVING count(DISTINCT w) = 2)""".stripMargin,
+      "e_lsh_topk" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          |dims AS (SELECT vec_id, d, emb[CAST(d AS INT)+1] AS x
+          |         FROM e CROSS JOIN (SELECT unnest(range(0,64)) AS d)),
+          |proj AS (SELECT vec_id, h,
+          |           sum(CAST(floor(x*10000) AS BIGINT) *
+          |               (((d*2654435761 + h*40503) % 97 % 2)*2 - 1)) AS pr
+          |         FROM dims CROSS JOIN (SELECT unnest(range(0,6)) AS h)
+          |         GROUP BY vec_id, h),
+          |b AS (SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN CAST(pow(2,h) AS BIGINT)
+          |        ELSE 0 END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id),
+          |q AS (SELECT b.bucket AS qb, e.emb AS qe FROM b JOIN e USING (vec_id) WHERE vec_id = 0)
+          |SELECT e.vec_id, round(list_cosine_similarity(e.emb, q.qe), 4) AS cos
+          |FROM e JOIN b USING (vec_id) CROSS JOIN q
+          |WHERE xor(b.bucket, q.qb) IN (0,1,2,4,8,16,32) AND e.vec_id <> 0
+          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+      "e_media_features" ->
+        """WITH m AS (SELECT i AS media_id,
+          |    CASE CAST(i%3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          |    CAST(64 + (i%192) AS BIGINT) AS ns FROM (SELECT unnest(range(0,300)) AS i)),
+          |s AS (SELECT media_id, kind, ns, unnest(range(0, ns)) AS j FROM m),
+          |c AS (SELECT media_id, any_value(kind) AS kind, any_value(ns) AS ns,
+          |        sum(CASE WHEN (media_id*131 + j*31 + 7) % 251 <= 31 THEN 1 ELSE 0 END) AS c0
+          |      FROM s GROUP BY media_id)
+          |SELECT kind, count(*) AS n, round(CAST(sum(c0) AS DOUBLE)/sum(ns), 4) AS avg_bin0
+          |FROM c GROUP BY kind""".stripMargin,
+      "e_frame_sample" ->
+        """SELECT i AS media_id,
+          |  CAST(ceil(greatest(1, (64 + (i%192)) // 32) / 4.0) AS INT) AS n_sampled
+          |FROM (SELECT unnest(range(0,300)) AS i) WHERE i % 3 = 2""".stripMargin,
     )
   }
 

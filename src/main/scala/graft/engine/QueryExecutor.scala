@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.query.QueryParser
@@ -14,11 +14,22 @@ import graft.tokenize.CodeTokenizer
   * Execution spec (mirrored exactly by OracleEngine.executeQuery for rank
   * identity):
   *   - metadata filters: `org:`/`repo:` case-insensitive substring (regex
-  *     if /…/) on the repo column, `path:` likewise on path, `lang:` exact
-  *     on the normalized lang; `branch:` parses but matches everything —
-  *     the input_hint corpus carries no branch column (documented
-  *     divergence; the reference indexes per-doc branch lists,
-  *     indexes/file.rs:575).
+  *     if /…/) on the repo column, `lang:` exact on the normalized lang;
+  *     `branch:` parses but matches everything — the input_hint corpus
+  *     carries no branch column (documented divergence; the reference
+  *     indexes per-doc branch lists, indexes/file.rs:575).
+  *   - `path:` with a plain literal is a SCORED PRIORITY FIELD (reference
+  *     compiler.rs:135-140 + reader.rs:105): conjunctive BM25 over the
+  *     "p:" path-trigram namespace, boosted ×10, then exact substring
+  *     verify on the stored path (the reference's bare trigram
+  *     intersection admits false positives; the verify keeps our result
+  *     exact AND a superset-free subset of the old filter semantics —
+  *     same doc set, now relevance-ranked). A <3-char literal has no
+  *     trigram and degrades to the unscored filter; `path:/re/` stays an
+  *     unscored regex filter (the reference's regex path queries are
+  *     likewise unboosted, compiler.rs:141-144).
+  *   - branch score = f32 targetScore + f32 10·pathScore, added in that
+  *     fixed order (f32 determinism).
   *   - content target, plain: conjunctive BM25 over code tokens;
   *     `case:sensitive` adds an exact-literal regexp post-verify
   *     (reference uses case-permutation terms, compiler.rs:115-133 — we
@@ -31,12 +42,32 @@ import graft.tokenize.CodeTokenizer
   *     analog).
   *   - DNF branches union: score(doc) = f32 sum of branch scores in branch
   *     (parse) order — the BooleanQuery-union sum semantics (SURVEY §2.6 B4).
+  *
+  * Scale shape: a single branch never enters the union/groupByKey (its
+  * hits are already one-per-doc); a single metadata-only branch is a
+  * pushed-down filter + ordered limit — no shuffle at all (round-1
+  * VERDICT: the old code shuffled every docId of the corpus through
+  * groupByKey for `repo:foo`).
   */
 class QueryExecutor(searcher: Searcher) {
   import searcher.spark.implicits._
 
   def execute(input: String, k: Int): Dataset[Hit] = {
     val branches = QueryParser.parse(input)
+    if (branches.size == 1) {
+      val b = branches.head
+      if (b.target.isEmpty && !pathIsScored(b)) {
+        // pure metadata listing: pushed-down filter + TakeOrdered, zero
+        // shuffles — equals the general path's result because every hit
+        // scores 0f and the tie-break is docId asc
+        val fd = filterDocs(b, includePath = true)
+          .getOrElse(searcher.docs.select($"docId"))
+        return fd.orderBy($"docId".asc).limit(k)
+          .select($"docId", lit(0f).as("score")).as[Hit]
+      }
+      // one branch ⇒ hits are already unique per doc: skip union/groupByKey
+      return branchHits(b).orderBy($"score".desc, $"docId".asc).limit(k)
+    }
     val hitsPerBranch: Seq[Dataset[(Long, Int, Float)]] =
       branches.zipWithIndex.map { case (b, i) =>
         branchHits(b).map(h => (h.docId, i, h.score))
@@ -54,10 +85,23 @@ class QueryExecutor(searcher: Searcher) {
       .limit(k)
   }
 
-  /** Filtered doc set for a branch's metadata labels, as a docId column. */
-  private def filterDocs(b: FlatQuery): Option[DataFrame] = {
-    var pred: Option[org.apache.spark.sql.Column] = None
-    def and(c: org.apache.spark.sql.Column): Unit =
+  /** Whether this branch's path label takes the scored-priority-field
+    * path (plain literal with at least one trigram).
+    */
+  private def pathIsScored(b: FlatQuery): Boolean = b.path match {
+    case Some(l) if !l.isRegex =>
+      CodeTokenizer.distinctTrigrams(l.value.toLowerCase).nonEmpty
+    case _ => false
+  }
+
+  /** Filtered doc set for a branch's metadata labels, as a docId column.
+    * includePath=false when the path label is handled by the scored path
+    * field instead.
+    */
+  private def filterDocs(b: FlatQuery,
+                         includePath: Boolean): Option[DataFrame] = {
+    var pred: Option[Column] = None
+    def and(c: Column): Unit =
       pred = Some(pred.map(_ && c).getOrElse(c))
     def subOrRegex(colName: String, l: QLit): Unit =
       and(regexp_like(lower(col(colName)),
@@ -65,20 +109,32 @@ class QueryExecutor(searcher: Searcher) {
           java.util.regex.Pattern.quote(l.value.toLowerCase)))))
     b.org.foreach(l => subOrRegex("repo", l))
     b.repo.foreach(l => subOrRegex("repo", l))
-    b.path.foreach(l => subOrRegex("path", l))
+    if (includePath) b.path.foreach(l => subOrRegex("path", l))
     b.lang.foreach(l => and(col("lang") === l))
     pred.map(p => searcher.docs.filter(p).select("docId"))
   }
 
+  /** Scored path-field hits: 10 × conjunctive BM25 over "p:" trigrams of
+    * the lowercased literal, exact-substring verified. Empty when any
+    * trigram is absent from the dict (no path can contain the literal).
+    */
+  private def pathHits(l: QLit): Dataset[Hit] = {
+    val grams = CodeTokenizer.distinctTrigrams(l.value.toLowerCase, "p:")
+      .toSeq.sorted
+    val base = scoreConjunctive(grams)
+    val pat = java.util.regex.Pattern.quote(l.value.toLowerCase)
+    base.toDF().join(searcher.docs.select($"docId", $"path"), "docId")
+      .filter(regexp_like(lower($"path"), lit(pat)))
+      .select($"docId", ($"score" * lit(10f)).as("score")).as[Hit]
+  }
+
   private def branchHits(b: FlatQuery): Dataset[Hit] = {
     val caseSens = b.caseSensitive.getOrElse(false)
-    val scored: Dataset[Hit] = b.target match {
-      case None =>
-        searcher.docs.select($"docId").as[Long].map(Hit(_, 0f))
-      case Some(ContentTarget(l)) if l.isRegex || b.globalRegex.contains(true) =>
+    val targetScored: Option[Dataset[Hit]] = b.target map {
+      case ContentTarget(l) if l.isRegex || b.globalRegex.contains(true) =>
         searcher.regexAll(l.value, caseSens)
           .select($"docId", $"score").as[Hit]
-      case Some(ContentTarget(l)) =>
+      case ContentTarget(l) =>
         val terms = CodeTokenizer.tokenize(l.value).distinct.sorted.toSeq
         val base = scoreConjunctive(terms)
         if (!caseSens) base
@@ -88,12 +144,24 @@ class QueryExecutor(searcher: Searcher) {
             .filter(regexp_like($"content", lit(pat)))
             .select($"docId", $"score").as[Hit]
         }
-      case Some(SymbolTarget(l)) =>
+      case SymbolTarget(l) =>
         val terms = CodeTokenizer.tokenize(l.value).distinct.sorted
           .map("s:" + _).toSeq
         scoreConjunctive(terms)
     }
-    filterDocs(b) match {
+    val pathScored: Option[Dataset[Hit]] =
+      if (pathIsScored(b)) Some(pathHits(b.path.get)) else None
+    val scored: Dataset[Hit] = (targetScored, pathScored) match {
+      case (Some(t), Some(p)) => // intersection; score = t + 10·p (f32)
+        t.toDF().withColumnRenamed("score", "ts")
+          .join(p.toDF().withColumnRenamed("score", "ps"), "docId")
+          .select($"docId", ($"ts" + $"ps").as("score")).as[Hit]
+      case (Some(t), None) => t
+      case (None, Some(p)) => p
+      case (None, None) =>
+        searcher.docs.select($"docId").as[Long].map(Hit(_, 0f))
+    }
+    filterDocs(b, includePath = pathScored.isEmpty) match {
       case None => scored
       case Some(fd) =>
         scored.toDF().join(fd, "docId").select($"docId", $"score").as[Hit]
@@ -107,5 +175,38 @@ class QueryExecutor(searcher: Searcher) {
       return searcher.spark.emptyDataset[Hit]
     searcher.scoreAll(terms, ts.map { case (t, (_, w)) => t -> w },
       conjunctive = true)
+  }
+
+  /** Directory listing for `open:true` queries — the D6 dir-documents /
+    * OpenReader analog (reference indexes/file.rs:554-607,
+    * query/execute.rs:744-786). The reference synthesizes dir documents at
+    * index time; here children derive from the indexed paths at query
+    * time: immediate files and subdirs of the path PREFIX within the repo
+    * filter. One pushed-down filter + one distinct — no driver loops.
+    */
+  def listDir(repoSubstring: Option[String], pathPrefix: String): DataFrame = {
+    val docs = searcher.docs
+    val filtered = repoSubstring match {
+      case Some(r) => docs.filter(lower($"repo").contains(r.toLowerCase))
+      case None => docs
+    }
+    filtered.filter($"path".startsWith(pathPrefix))
+      .select($"repo",
+        substring($"path", pathPrefix.length + 1, 1000000).as("rest"))
+      .select($"repo",
+        when($"rest".contains("/"),
+          concat(lit(pathPrefix), substring_index($"rest", "/", 1), lit("/")))
+          .otherwise(concat(lit(pathPrefix), $"rest")).as("entry"),
+        $"rest".contains("/").as("is_dir"))
+      .distinct()
+  }
+
+  /** Query-language face of listDir: `open:true repo:… path:…` (path value
+    * is a PREFIX here, matching the reference's open semantics).
+    */
+  def executeOpen(input: String): DataFrame = {
+    val b = QueryParser.parse(input).head
+    require(b.open.contains(true), s"not an open: query: $input")
+    listDir(b.repo.map(_.value), b.path.map(_.value).getOrElse(""))
   }
 }

@@ -190,6 +190,60 @@ class Searcher(@transient val spark: SparkSession, val indexRoot: String) {
     candidates.orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** Double-precision BM25 witness THROUGH the index artifacts: tf from
+    * decoded postings, df from the dict, docLen from the docs table (the
+    * unquantized token count), N/avgdl from stats — the same BM25 formula
+    * as the f32 engine but quantization-free, so an external SQL engine
+    * can mirror it exactly (the q_bm25_topk technique pointed at the
+    * index instead of the raw table). Two terms, explicit s1+s2 addition:
+    * fixed double rounding order on both engines. The f32 path's scores
+    * stay covered by the sbt rank-identity suite; this makes the index
+    * artifacts themselves a hard driver-checkable row. Ordering is on the
+    * ROUNDED score (desc, docId asc) so the top-k boundary rule is
+    * identical to the oracle's.
+    *
+    * tweakedNow: apply the DocumentTweaker factors in double precision
+    * (score ×1000 lang-present, ÷clamp(avgLineLength,20,1000),
+    * ÷clamp(now−lastCommit,1,5e6); lastCommit=0 on this corpus).
+    */
+  def searchDoubleWitness(t1: String, t2: String, k: Int,
+                          tweakedNow: Option[Long] = None): DataFrame = {
+    val st = stats
+    val dfs = dictCache match {
+      case Some(m) => Map(t1 -> m.getOrElse(t1, 0L), t2 -> m.getOrElse(t2, 0L))
+      case None => dict.filter($"term".isin(t1, t2))
+        .collect().map(d => d.term -> d.df).toMap.withDefaultValue(0L)
+    }
+    val empty = docs.select($"docId", $"repo", $"path",
+      lit(0.0).as("score")).limit(0)
+    if (dfs.getOrElse(t1, 0L) == 0L || dfs.getOrElse(t2, 0L) == 0L)
+      return empty
+    def side(t: String, tfn: String) = postings.filter($"term" === t)
+      .flatMap(r => PostingCodec.decodeRun(r.blocks).map(e => (e._1, e._2)))
+      .toDF("docId", tfn)
+    def w(df: Long): Double =
+      math.log(1.0 + (st.n - df + 0.5) / (df + 0.5)) * 2.2
+    def s(tfc: String, wv: Double) =
+      lit(wv) * col(tfc) / (col(tfc) +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("docLen") / lit(st.avgdl)))
+    val raw = s("tf1", w(dfs(t1))) + s("tf2", w(dfs(t2)))
+    val (scoreCol, digits) = tweakedNow match {
+      case None => (raw, 4)
+      case Some(now) =>
+        // double-precision DocumentTweaker mirror (Tweaker.scala spec)
+        (raw * 1000.0 /
+          greatest(lit(20.0), least($"avgLineLength", lit(1000.0))) /
+          greatest(lit(1.0), least(lit(now.toDouble), lit(5e6))), 12)
+    }
+    side(t1, "tf1").join(side(t2, "tf2"), "docId")
+      .join(docs.select($"docId", $"repo", $"path", $"docLen",
+        $"avgLineLength"), "docId")
+      .select($"docId", $"repo", $"path",
+        round(scoreCol, digits).as("score"))
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+  }
+
   /** Literal search with the reference's DocumentTweaker factors applied
     * after BM25 (query/ranking.rs:19-38; SURVEY §2.8 item 2). `now` is a
     * frozen query parameter. lastCommit is 0 for the input_hint corpus.

@@ -24,7 +24,8 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
 
   case class ODoc(docId: Long, repo: String, path: String, commit: String,
                   lang: String, content: String, tf: Map[String, Int],
-                  symTf: Map[String, Int], grams: Set[String], docLen: Int,
+                  symTf: Map[String, Int], grams: Set[String],
+                  pGrams: Set[String], docLen: Int,
                   normId: Byte, indexed: Boolean)
 
   val docs: Vector[ODoc] = {
@@ -39,15 +40,16 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
       .zipWithIndex.map { case ((r, p, c, l, content), i) =>
         if (!graft.index.IndexBuilder.isIndexable(content))
           ODoc(i + 1L, r, p, c, l, "", Map.empty, Map.empty, Set.empty,
-            0, 0.toByte, indexed = false)
+            Set.empty, 0, 0.toByte, indexed = false)
         else {
           val (tf, docLen) = CodeTokenizer.termFreqs(content)
           val g = CodeTokenizer.distinctTrigrams(content).toSet
+          val pg = CodeTokenizer.distinctTrigrams(p).toSet
           val sym = mutable.HashMap.empty[String, Int]
           graft.tokenize.SymbolExtractor.symbolTerms(content).foreach { t =>
             sym.update(t, sym.getOrElse(t, 0) + 1)
           }
-          ODoc(i + 1L, r, p, c, l, content, tf.toMap, sym.toMap, g,
+          ODoc(i + 1L, r, p, c, l, content, tf.toMap, sym.toMap, g, pg,
             docLen, SmallFloat.intToByte4(docLen), indexed = true)
         }
       }.toVector
@@ -75,6 +77,12 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
   val gramDf: Map[String, Long] = {
     val m = mutable.HashMap.empty[String, Long]
     docs.foreach(_.grams.foreach(g => m.update(g, m.getOrElse(g, 0L) + 1)))
+    m.toMap
+  }
+  /** path trigram → df ("p:" namespace) */
+  val pathGramDf: Map[String, Long] = {
+    val m = mutable.HashMap.empty[String, Long]
+    docs.foreach(_.pGrams.foreach(g => m.update(g, m.getOrElse(g, 0L) + 1)))
     m.toMap
   }
 
@@ -160,23 +168,50 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
     import graft.query.QueryParser
     import QueryParser.{ContentTarget, FlatQuery, QLit, SymbolTarget}
     val branches = QueryParser.parse(input)
-    def metaPred(b: FlatQuery)(d: ODoc): Boolean = {
+    def pathScoredLit(b: FlatQuery): Option[QLit] = b.path match {
+      case Some(l) if !l.isRegex &&
+          CodeTokenizer.distinctTrigrams(l.value.toLowerCase).nonEmpty =>
+        Some(l)
+      case _ => None
+    }
+    def metaPred(b: FlatQuery, includePath: Boolean)(d: ODoc): Boolean = {
       def sub(field: String, l: QLit): Boolean =
         java.util.regex.Pattern.compile("(?i)" +
             (if (l.isRegex) l.value
              else java.util.regex.Pattern.quote(l.value.toLowerCase)))
           .matcher(field.toLowerCase).find()
       b.org.forall(sub(d.repo, _)) && b.repo.forall(sub(d.repo, _)) &&
-        b.path.forall(sub(d.path, _)) && b.lang.forall(_ == d.lang)
+        (!includePath || b.path.forall(sub(d.path, _))) &&
+        b.lang.forall(_ == d.lang)
+    }
+    // mirror of QueryExecutor.pathHits: 10 × conjunctive BM25 over path
+    // trigrams (tf=1, content normId), substring-verified
+    def pathHits(l: QLit): Seq[(Long, Float)] = {
+      val grams = CodeTokenizer.distinctTrigrams(l.value.toLowerCase)
+        .toSeq.sorted
+      if (grams.exists(g => pathGramDf.getOrElse(g, 0L) == 0L)) return Nil
+      val weights = grams.map(g => Bm25.weight(pathGramDf(g), n))
+      val needle = l.value.toLowerCase
+      docs.flatMap { d =>
+        if (grams.forall(d.pGrams.contains) &&
+            d.path.toLowerCase.contains(needle)) {
+          var s = 0f
+          var i = 0
+          while (i < grams.length) {
+            s += Bm25.partial(weights(i), 1, normCache(d.normId & 0xff))
+            i += 1
+          }
+          Some(d.docId -> 10f * s)
+        } else None
+      }
     }
     def branchHits(b: FlatQuery): Seq[(Long, Float)] = {
       val caseSens = b.caseSensitive.getOrElse(false)
-      val scored: Seq[(Long, Float)] = b.target match {
-        case None => docs.map(d => (d.docId, 0f))
-        case Some(ContentTarget(l))
+      val targetScored: Option[Seq[(Long, Float)]] = b.target map {
+        case ContentTarget(l)
             if l.isRegex || b.globalRegex.contains(true) =>
           regexHitsAll(l.value, caseSens)
-        case Some(ContentTarget(l)) =>
+        case ContentTarget(l) =>
           val base = conjunctiveHits(
             CodeTokenizer.tokenize(l.value).distinct.sorted.toSeq,
             d => d.tf, df)
@@ -188,12 +223,24 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
               pat.matcher(byId(id).content).find()
             }
           }
-        case Some(SymbolTarget(l)) =>
+        case SymbolTarget(l) =>
           conjunctiveHits(
             CodeTokenizer.tokenize(l.value).distinct.sorted.toSeq,
             d => d.symTf, symDf)
       }
-      scored.filter { case (id, _) => metaPred(b)(byId(id)) }
+      val pLit = pathScoredLit(b)
+      val pathScored: Option[Seq[(Long, Float)]] = pLit.map(pathHits)
+      val scored: Seq[(Long, Float)] = (targetScored, pathScored) match {
+        case (Some(t), Some(p)) => // intersection; f32 ts + ps, fixed order
+          val pm = p.toMap
+          t.flatMap { case (id, ts) => pm.get(id).map(ps => (id, ts + ps)) }
+        case (Some(t), None) => t
+        case (None, Some(p)) => p
+        case (None, None) => docs.map(d => (d.docId, 0f))
+      }
+      scored.filter { case (id, _) =>
+        metaPred(b, includePath = pLit.isEmpty)(byId(id))
+      }
     }
     val perDoc = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Int, Float)]]
     branches.zipWithIndex.foreach { case (b, i) =>

@@ -19,7 +19,8 @@ object Multimodal {
   case class MediaRow(media_id: Long, kind: String, width: Int, height: Int,
                       sample_rate: Int, bytes: Array[Byte])
   case class Feature(media_id: Long, kind: String, n_frames: Int,
-                     feature: Array[Float])
+                     feature: Array[Float], counts: Array[Int],
+                     nSamples: Int)
 
   /** Deterministic synthetic media table: binary payloads derived from the
     * id (no external data). kind ∈ {image, audio, video}.
@@ -54,15 +55,14 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         val samples = decodeStub(m.bytes)
-        val hist = new Array[Float](8)
+        val counts = new Array[Int](8)
         samples.foreach { s =>
           val bin = math.min(7, (s * 8).toInt)
-          hist(bin) += 1f
+          counts(bin) += 1
         }
         val n = math.max(1, samples.length)
-        var i = 0
-        while (i < 8) { hist(i) /= n.toFloat; i += 1 }
-        Feature(m.media_id, m.kind, frameCount(m), hist)
+        val hist = Array.tabulate(8)(i => counts(i).toFloat / n.toFloat)
+        Feature(m.media_id, m.kind, frameCount(m), hist, counts, n)
       }
     }
   }
@@ -92,12 +92,19 @@ object Multimodal {
     }
   }
 
-  /** Aggregate demo over extracted features: per-kind mean of bin 0. */
+  /** Aggregate over extracted features: per-kind sample-weighted mean of
+    * the bin-0 share. Aggregated from the INTEGER histogram counts (one
+    * exact sum, one double division) so the result is bit-identical at any
+    * parallelism / aggregation order — a float mean of per-media fractions
+    * would depend on summation order.
+    */
   def featureStats(media: Dataset[MediaRow]): DataFrame = {
     extractFeatures(media).toDF()
       .select(col("media_id"), col("kind"),
-        round(element_at(col("feature"), 1).cast("double"), 4).as("bin0"))
+        element_at(col("counts"), 1).cast("long").as("c0"),
+        col("nSamples").cast("long").as("ns"))
       .groupBy("kind")
-      .agg(count("*").as("n"), round(avg("bin0"), 4).as("avg_bin0"))
+      .agg(count("*").as("n"),
+        round(sum("c0").cast("double") / sum("ns"), 4).as("avg_bin0"))
   }
 }

@@ -84,4 +84,10 @@ class CodeTokenizerSpec extends AnyFunSuite {
       assert(len == tokenize(s).length)
     }
   }
+
+  test("single-spaced lowercase word text tokenizes to exactly its words " +
+       "(basis of the driver's e_* DuckDB string_split oracles)") {
+    val t = "key agg row scan slow fast merge join a the value part"
+    assert(tokenize(t).toSeq == t.split(" ").toSeq)
+  }
 }

@@ -160,6 +160,48 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-generation WAND == exhaustive (tombstone-aware dead-doc skip)") {
+    val root = TestSpark.tempDir("inc-wand")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    inc.ingest(corpusB)
+    val repo = corpusA.select("repo").distinct().orderBy("repo")
+      .limit(1).collect()(0).getString(0)
+    inc.deleteRepo(repo)
+    val ms = inc.searcher()
+    for (q <- Seq("if", "parse", "return index", "if return import")) {
+      val terms = ms.queryTerms(q)
+      def hits(wand: Boolean) =
+        ms.search(terms, 25, conjunctive = true, useWand = wand)
+          .collect().map(h => (h.docId, h.score)).toSeq
+          .sortBy { case (d, s) => (-s, d) }
+      assert(hits(wand = true) == hits(wand = false), s"query '$q'")
+      // and the deleted repo never surfaces through the WAND path
+      assert(ms.materialize(ms.search(terms, 1000, conjunctive = true,
+        useWand = true)).filter(col("repo") === repo).count() == 0)
+    }
+  }
+
+  test("oversize tombstone set: no ship, shuffle anti-join fallback stays correct") {
+    val root = TestSpark.tempDir("inc-bigtomb")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    val repo = corpusA.select("repo").distinct().orderBy("repo")
+      .limit(1).collect()(0).getString(0)
+    inc.deleteRepo(repo)
+    // force the >gate path (as if billions of tombstones)
+    val big = new graft.index.MultiSearcher(spark, inc.generations(),
+      inc.readTombstones()) { override val TombstoneShipMax = 0L }
+    val normal = inc.searcher()
+    assert(big.docs.filter(col("repo") === repo).count() == 0)
+    val got = big.search(big.queryTerms("if"), 50, conjunctive = true,
+      useWand = true) // silently demoted to exhaustive
+      .collect().map(h => (h.docId, h.score)).toSet
+    val want = normal.search(normal.queryTerms("if"), 50, conjunctive = true,
+      useWand = false).collect().map(h => (h.docId, h.score)).toSet
+    assert(got == want)
+  }
+
   test("structured streaming ingest drains arriving corpus files") {
     val root = TestSpark.tempDir("inc-stream")
     val inDir = TestSpark.tempDir("inc-stream-in")

@@ -66,6 +66,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(lang,rust)"))
   }
 
+  test("metadata-only query plans with zero shuffles (round-1 VERDICT)") {
+    val exec = new graft.engine.QueryExecutor(searcher)
+    val plan = planOf(exec.execute("lang:rust repo:repo1", 10).toDF())
+    assert(!plan.contains("Exchange"),
+      s"pure-filter listing must not shuffle:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("whole-stage codegen covers the filter/project pipeline") {
     val df = searcher.docs.select("docId", "lang", "docLen")
       .filter($"docLen" > 10)

@@ -40,6 +40,10 @@ class QueryExecutorSpec extends AnyFunSuite {
     "case:ignore index",
     "symbol:read",
     "path:mod1 if",
+    "path:mod1",            // scored path field alone (×10 boost)
+    "path:mod2 or path:mod3 index", // scored path across DNF branches
+    "path:f1 lang:go",      // scored path + metadata filter, no target
+    "path:/mod[0-9]/ index", // regex path stays an unscored filter
     "repo:repo4",
     "lang:python",
     "import or return",
@@ -112,5 +116,51 @@ class QueryExecutorSpec extends AnyFunSuite {
     val wantIds = oracle.docs.filter(d =>
       d.repo.toLowerCase.contains("repo1") && d.lang == "rust").map(_.docId).toSet
     assert(got.map(_.docId).toSet == wantIds)
+  }
+
+  test("path: is a scored priority field — hits rank by 10×path-BM25") {
+    val got = exec.execute("path:mod1", 100).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.score > 0f), "path hits must carry the boosted score")
+    // same doc set as the old substring-filter semantics (verify step)
+    val wantIds = oracle.docs.filter(d =>
+      d.indexed && d.path.toLowerCase.contains("mod1")).map(_.docId).toSet
+    assert(got.map(_.docId).toSet == wantIds)
+  }
+
+  test("mixed path+content: branch score = content + 10×path (f32 order)") {
+    val both = exec.execute("path:mod1 if", 1000).collect()
+      .map(h => h.docId -> h.score).toMap
+    val contentOnly = exec.execute("if", 10000).collect()
+      .map(h => h.docId -> h.score).toMap
+    val pathOnly = exec.execute("path:mod1", 10000).collect()
+      .map(h => h.docId -> h.score).toMap
+    assert(both.nonEmpty)
+    both.foreach { case (id, s) =>
+      assert(contentOnly.contains(id) && pathOnly.contains(id))
+      assert(s == contentOnly(id) + pathOnly(id), s"doc $id")
+    }
+  }
+
+  test("open:/listDir: immediate children of a path prefix (D6)") {
+    val root = exec.executeOpen("open:true path:").collect()
+      .map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(root == Set(("src/", true))) // all paths live under src/
+    val sub = exec.executeOpen("open:true repo:repo1 path:src/")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(sub.nonEmpty)
+    assert(sub.forall { case (repo, e, d) =>
+      repo.contains("repo1") && e.startsWith("src/mod") && d })
+    // file level: entries are full paths, is_dir=false
+    val dir = sub.head._2
+    val files = exec.executeOpen(s"open:true repo:repo1 path:$dir")
+      .collect().map(r => (r.getString(1), r.getBoolean(2)))
+    assert(files.nonEmpty)
+    assert(files.forall { case (e, d) => e.startsWith(dir) && !d })
+    // parity with the docs table
+    val want = oracle.docs.filter(d => d.repo.toLowerCase.contains("repo1") &&
+      d.path.startsWith(dir) && !d.path.drop(dir.length).contains("/"))
+      .map(_.path).toSet
+    assert(files.map(_._1).toSet == want)
   }
 }

@@ -116,6 +116,34 @@ class RegexPlannerSpec extends AnyFunSuite {
     assert(g.contains("cde"))
   }
 
+  test("alphanumeric escapes decode or Break — never false literals (ADVICE r1)") {
+    // decodable escapes keep prefilter strength
+    assert(plan("foo\\x41bar") == Lit("fooAbar"))
+    assert(plan("ab\\u0041cd") == Lit("abAcd"))
+    assert(plan("ab\\0101cd") == Lit("abAcd")) // octal
+    assert(plan("a\\x{1F600}b").isInstanceOf[Lit]) // astral \x{…}
+    // content-class escapes must consume their argument and Break:
+    // leaking "41"/"L" would create grams absent from true matches
+    assert(requiredGrams(plan("foo\\dbar")) == Set("foo", "bar"))
+    assert(requiredGrams(plan("foo\\pLbar")) == Set("foo", "bar"))
+    assert(requiredGrams(plan("foo\\p{Lu}bar")) == Set("foo", "bar"))
+    // group fuses with the following literal ("abcx" is truly required);
+    // the backref itself Breaks (no false "xyz"-side fusion with \1)
+    assert(requiredGrams(plan("(abc)x\\1yz")) == Set("abc", "bcx"))
+    assert(requiredGrams(plan("foo\\cMbar")) == Set("foo", "bar"))
+    // inside classes too: [\d] must not distribute a literal 'd'
+    assert(requiredGrams(plan("foo[\\d]bar")) == Set("foo", "bar"))
+    assert(requiredGrams(plan("foo[\\x41]bar")).contains("ooa")) // decodes
+    // superset safety on real matcher semantics
+    for ((pat, m) <- Seq("foo\\x20bar" -> "foo bar",
+        "a\\x41{2}c" -> "aAAc", "v\\p{L}w" -> "vZw")) {
+      assert(java.util.regex.Pattern.compile(pat).matcher(m).find(),
+        s"$pat vs $m")
+      val g = requiredGrams(plan(pat))
+      assert(g.forall(m.toLowerCase.contains), s"pattern $pat grams $g")
+    }
+  }
+
   test("superset safety fuzz: every regex match contains all required grams") {
     val cases = Seq(
       "parse(Error|Warning)" -> Seq("parseError", "parseWarning"),
