@@ -43,23 +43,26 @@ object QueryParser {
       branch: Option[QLit] = None,
       target: Option[Target] = None) {
 
-    /** AND-merge (reference parser.rs:89-115): rhs fills empty fields;
-      * two content targets fuse into the regex `lhs\s+rhs`.
+    /** AND-merge (reference parser.rs:89-115): RHS WINS — "overwriting
+      * current terms by terms in the new query" — so the LATER label of a
+      * duplicated field takes precedence (reference basic_parse golden:
+      * `path:foo.c create_foo symbol:bar` keeps the symbol target). Two
+      * content targets fuse into the regex `lhs\s+rhs`.
       */
     def merge(rhs: FlatQuery): FlatQuery = FlatQuery(
-      open = open.orElse(rhs.open),
-      caseSensitive = caseSensitive.orElse(rhs.caseSensitive),
-      globalRegex = globalRegex.orElse(rhs.globalRegex),
-      org = org.orElse(rhs.org),
-      repo = repo.orElse(rhs.repo),
-      path = path.orElse(rhs.path),
-      lang = lang.orElse(rhs.lang),
-      branch = branch.orElse(rhs.branch),
+      open = rhs.open.orElse(open),
+      caseSensitive = rhs.caseSensitive.orElse(caseSensitive),
+      globalRegex = rhs.globalRegex.orElse(globalRegex),
+      org = rhs.org.orElse(org),
+      repo = rhs.repo.orElse(repo),
+      path = rhs.path.orElse(path),
+      lang = rhs.lang.orElse(lang),
+      branch = rhs.branch.orElse(branch),
       target = (target, rhs.target) match {
         case (Some(ContentTarget(a)), Some(ContentTarget(b))) =>
           Some(ContentTarget(
             QLit(a.regexStr + "\\s+" + b.regexStr, isRegex = true)))
-        case (a, b) => a.orElse(b)
+        case (a, b) => b.orElse(a)
       })
   }
 

@@ -234,7 +234,8 @@ object CodeTokenizer {
     */
   def trigrams(s: String): Array[String] = {
     val cps = s.toCharArray // char-based like the reference's chars() windows
-    if (cps.length <= 3) Array(s)
+    if (cps.length == 0) Array.empty // reference: trigrams("") is empty
+    else if (cps.length <= 3) Array(s)
     else Array.tabulate(cps.length - 2)(i => new String(cps, i, 3))
   }
 
@@ -286,13 +287,16 @@ object CodeTokenizer {
     */
   def casePermutations(s: String): Seq[String] = {
     val lower = s.toLowerCase
-    val caseable = lower.count(c => c.toUpper != c)
-    if (caseable > 5) return Seq(s)
-    var acc = List("")
-    lower.foreach { c =>
-      val variants = if (c.toUpper != c) Seq(c, c.toUpper) else Seq(c)
-      acc = for (p <- acc; v <- variants) yield p + v
+    val caseablePos = lower.indices.filter(i => lower(i).toUpper != lower(i))
+    if (caseablePos.size > 5) return Seq(s)
+    // mask order matches the reference exactly (bit i = i-th caseable
+    // char uppercased, mask ascending — compiler.rs:287-312 goldens)
+    (0 until (1 << caseablePos.size)).map { mask =>
+      val sb = new StringBuilder(lower)
+      caseablePos.zipWithIndex.foreach { case (pos, bit) =>
+        if ((mask & (1 << bit)) != 0) sb.setCharAt(pos, lower(pos).toUpper)
+      }
+      sb.toString
     }
-    acc.reverse
   }
 }

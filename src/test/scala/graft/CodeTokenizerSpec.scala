@@ -31,16 +31,24 @@ class CodeTokenizerSpec extends AnyFunSuite {
     assert(tokenize("if (x) { return y; }").toSeq == Seq("if", "x", "return", "y"))
   }
 
-  test("trigram goldens (reference query/compiler.rs:320-339 semantics)") {
+  test("trigram goldens (reference query/compiler.rs test_trigrams, :320-339)") {
     assert(trigrams("abcde").toSeq == Seq("abc", "bcd", "cde"))
-    assert(trigrams("ab").toSeq == Seq("ab"))
     assert(trigrams("abc").toSeq == Seq("abc"))
+    assert(trigrams("ab").toSeq == Seq("ab"))
+    assert(trigrams("a").toSeq == Seq("a"))
+    assert(trigrams("").toSeq == Seq())
     assert(trigrams("ab㐀de").toSeq == Seq("ab㐀", "b㐀d", "㐀de"))
   }
 
-  test("case permutations (reference query/compiler.rs:342-363 semantics)") {
-    assert(casePermutations("ab").toSet == Set("ab", "Ab", "aB", "AB"))
-    assert(casePermutations("a1").toSet == Set("a1", "A1"))
+  test("case permutations golden ORDER (reference compiler.rs test_case_permutations)") {
+    assert(casePermutations("abc") ==
+      Seq("abc", "Abc", "aBc", "ABc", "abC", "AbC", "aBC", "ABC"))
+    assert(casePermutations("ab") == Seq("ab", "Ab", "aB", "AB"))
+    assert(casePermutations("a") == Seq("a", "A"))
+    assert(casePermutations("") == Seq(""))
+    assert(casePermutations("a㐀") == Seq("a㐀", "A㐀"))
+    assert(casePermutations("a㐀b") == Seq("a㐀b", "A㐀b", "a㐀B", "A㐀B"))
+    assert(casePermutations("a1") == Seq("a1", "A1"))
     // >5 caseable chars: no expansion (cap at compiler.rs:22)
     assert(casePermutations("abcdef") == Seq("abcdef"))
   }

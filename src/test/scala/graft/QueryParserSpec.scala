@@ -92,4 +92,112 @@ class QueryParserSpec extends AnyFunSuite {
     assert(parse("case:ignore token").head.caseSensitive.contains(false))
     assert(parse("open:true repo:x path:y").head.open.contains(true))
   }
+
+  // ---- named twins of the reference parser tests (parser.rs:727+)
+
+  test("twin intersection_parse: or with asymmetric branches") {
+    val q = parse("repo:foo ParseError or repo:bar")
+    assert(q.size == 2)
+    assert(q(0).repo.contains(QLit("foo", false)))
+    assert(q(0).target.contains(ContentTarget(QLit("ParseError", false))))
+    assert(q(1).repo.contains(QLit("bar", false)))
+    assert(q(1).target.isEmpty)
+    // flipped order
+    val q2 = parse("repo:bar or repo:foo ParseError")
+    assert(q2(0).repo.contains(QLit("bar", false)) && q2(0).target.isEmpty)
+    assert(q2(1).repo.contains(QLit("foo", false)))
+    assert(q2(1).target.contains(ContentTarget(QLit("ParseError", false))))
+  }
+
+  test("twin complex_nested_combinators_parse") {
+    val q = parse(
+      "(((repo:foo xyz) or repo:abc) (repo:fred or repo:grub) org:bloop)")
+    // reference flattens to 4 branches; merge is rhs-wins so fred/grub
+    // overwrite foo/abc (parser.rs complex_nested_combinators golden)
+    assert(q.size == 4)
+    assert(q.forall(_.org.contains(QLit("bloop", false))))
+    val shapes = q.map(b => (b.repo.get.value, b.target.map(_.lit.value)))
+    assert(shapes.toSet == Set(
+      ("fred", Some("xyz")), ("grub", Some("xyz")),
+      ("fred", None), ("grub", None)), s"got $shapes")
+  }
+
+  test("twin basic_parse: last target operator takes precedence") {
+    val b = parse("path:foo.c create_foo symbol:bar").head
+    assert(b.path.contains(QLit("foo.c", false)))
+    assert(b.target.contains(SymbolTarget(QLit("bar", false))))
+  }
+
+  test("twin complex_multiple_parse_types") {
+    val q = parse("(repo:bloop or repo:google) Parser or repo:zoekt Parsing " +
+      "or (symbol:Compiler or (org:bloop repo:enterprise-search))")
+    assert(q.size == 5)
+    assert(q.count(_.target.exists(_.isInstanceOf[SymbolTarget])) == 1)
+    assert(q.count(_.target.isEmpty) == 1) // the bare org+repo branch
+  }
+
+  test("twin slash_in_path") {
+    assert(parse("path:foo/bar.js").head.path.contains(QLit("foo/bar.js", false)))
+  }
+
+  test("twin literal_join_as_regex") {
+    // plain+plain → quoted \s+ fusion (covered above); regex operands keep
+    // their source, plain operands get quoted
+    val q = parse("/f(oo)/ /(bar|quux)/")
+    val t = q.head.target.get.lit
+    assert(t.isRegex && t.value == "f(oo)\\s+(bar|quux)")
+    // plain operands with regex metachars get quoted (the reference uses
+    // regex_syntax::escape; our spec uses \Q…\E — same match semantics)
+    val q2 = parse("content:\"f(oo)\" content:\"(bar|quux)\"")
+    val t2 = q2.head.target.get.lit
+    assert(t2.isRegex)
+    assert(t2.value == "\\Qf(oo)\\E\\s+\\Q(bar|quux)\\E")
+  }
+
+  test("twin lang_path_filter") {
+    val b = parse("lang:Rust path:server").head
+    assert(b.lang.contains("rust")) // normalized lowercase
+    assert(b.path.contains(QLit("server", false)))
+    assert(b.target.isEmpty)
+  }
+
+  test("twin enable_open") {
+    assert(parse("open:true path:server/bleep/Cargo.toml").head.open
+      .contains(true))
+    assert(parse("open:false path:server/bleep/Cargo.toml").head.open
+      .contains(false))
+    assert(parse("path:server/bleep/Cargo.toml").head.open.isEmpty)
+  }
+
+  test("twin special_chars") {
+    // bare tokens keep their backslashes verbatim (no unescaping)
+    val b = parse("foo\\nbar\\tquux").head
+    assert(b.target.contains(ContentTarget(QLit("foo\\nbar\\tquux", false))))
+    // regex literal preserves class escapes
+    val r = parse("/^\\b\\B\\w\\Wfoo\\d\\D$/").head.target.get.lit
+    assert(r.isRegex && r.value == "^\\b\\B\\w\\Wfoo\\d\\D$")
+  }
+
+  test("twin test_global_regex") {
+    val q1 = parse("global_regex:true foo").head
+    assert(q1.globalRegex.contains(true))
+    assert(q1.target.contains(ContentTarget(QLit("foo", false))))
+    val q2 = parse("global_regex:true /foo/").head
+    assert(q2.globalRegex.contains(true))
+    assert(q2.target.contains(ContentTarget(QLit("foo", true))))
+    assert(parse("foo").head.globalRegex.isEmpty)
+    // flag set in ANY branch redistributes to all (parser.rs:588-595)
+    val q3 = parse("global_regex:true foo or bar global_regex:false")
+    assert(q3.forall(_.globalRegex.isDefined))
+  }
+
+  test("twin or_prefix / or_suffix: 'or'-shaped words are not the keyword") {
+    assert(parse("org").head.target.contains(ContentTarget(QLit("org", false))))
+    val q = parse("org or orange")
+    assert(q.size == 2)
+    assert(q.map(_.target.get.lit.value) == Vector("org", "orange"))
+    assert(parse("for").head.target.contains(ContentTarget(QLit("for", false))))
+    val q2 = parse("foo or for")
+    assert(q2.map(_.target.get.lit.value) == Vector("foo", "for"))
+  }
 }

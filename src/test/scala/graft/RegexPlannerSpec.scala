@@ -116,6 +116,18 @@ class RegexPlannerSpec extends AnyFunSuite {
     assert(g.contains("cde"))
   }
 
+  test("twin nested_or: deep alternations flatten (planner.rs nested_or)") {
+    val f = plan("(((abc|def)|ghi)|jkl|((123|(456|(789))))|000)")
+    assert(f == Or(Vector(Lit("abc"), Lit("def"), Lit("ghi"), Lit("jkl"),
+      Lit("123"), Lit("456"), Lit("789"), Lit("000"))))
+  }
+
+  test("twin repetition: z* vanishes, z+ keeps one copy (planner.rs repetition)") {
+    assert(plan("abc.*def") == And(Vector(Lit("abc"), Break, Lit("def"))))
+    assert(plan("abcz*def") == And(Vector(Lit("abc"), Break, Lit("def"))))
+    assert(plan("abcz+def") == And(Vector(Lit("abcz"), Break, Lit("def"))))
+  }
+
   test("alphanumeric escapes decode or Break — never false literals (ADVICE r1)") {
     // decodable escapes keep prefilter strength
     assert(plan("foo\\x41bar") == Lit("fooAbar"))
