@@ -93,6 +93,7 @@ object SparkEntry {
     // ---- text analysis
     "q_langid" -> ((s, d) => TextOps.langIdScore(docs(s, d))),
     "q_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
+    "q_stopword_filter" -> ((s, d) => TextOps.stopwordFiltered(docs(s, d))),
     // ---- similarity search
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(emb(s, d), 0L, 20)),
     "q_cosine_neardup" -> ((s, d) =>
@@ -463,6 +464,13 @@ object SparkEntry {
         """SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket,
           |  count(*) AS n, round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
           |FROM events GROUP BY event_type, CAST(floor(epoch(ts)/3600) AS BIGINT)""".stripMargin,
+      "q_stopword_filter" -> {
+        val list = graft.tokenize.StopwordData.Words.toSeq.sorted
+          .map(w => "'" + w.replace("'", "''") + "'").mkString(",")
+        s"""SELECT doc_id, array_to_string(list_filter(string_split(text,' '),
+           |  w -> w <> '' AND lower(w) NOT IN ($list)), ' ') AS cleaned
+           |FROM documents""".stripMargin
+      },
       // ---- engine oracles (round-2: every e_* row driver-checkable)
       "e_docid_map" ->
         s"""WITH $ids SELECT "docId", repo, path, cmt AS "commit", lang FROM ids""",

@@ -87,6 +87,26 @@ object TextOps {
       .filter(col("n_words") > 0) // grouped SQL oracle has no zero-word rows
   }
 
+  /** Full stopword removal (T4) over the reference's 571-word list
+    * (query/stopwords.txt) as a pure Column expression: segments split at
+    * chars outside [a-zA-Z0-9_/ -] (the reference's phrase-boundary
+    * regex), words filtered against the list case-insensitively, output
+    * re-joined with single spaces — byte-identical to
+    * graft.tokenize.Stopwords.removeStopwords (the phrase GROUPING only
+    * matters to phrases() callers; the joined output is the filtered
+    * word sequence either way). Codegen'd higher-order functions, no UDF.
+    */
+  def removeStopwords(text: Column): Column = {
+    val stops = typedLit(graft.tokenize.StopwordData.Words.toSeq.sorted)
+    array_join(
+      flatten(transform(split(text, "[^a-zA-Z0-9_/ -]"),
+        seg => filter(split(seg, " +"),
+          w => w =!= "" && !array_contains(stops, lower(w))))), " ")
+  }
+
+  def stopwordFiltered(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), removeStopwords(col("text")).as("cleaned"))
+
   /** Document fingerprinting: charHash of the full text (rolling hash over
     * every char incl. spaces) — the cheap exact-dup / shard-stable id.
     */

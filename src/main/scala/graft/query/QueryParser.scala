@@ -234,27 +234,21 @@ object QueryParser {
   }
 }
 
-/** Language alias / proper-case maps (reference query/languages.rs:5-19,
-  * generated from languages.yml — here a hand-kept subset of the common
-  * aliases; SURVEY §2.3 T6).
+/** Language alias / proper-case maps (reference query/languages.rs:5-19),
+  * backed by [[LanguageData]] — generated from the reference's vendored
+  * github-linguist languages.yml exactly like the reference's build step
+  * (SURVEY §2.3 T6; 217 aliases / 470 languages, was a 12-entry hand map
+  * in round 1).
   */
 object Languages {
-  private val aliases = Map(
-    "rs" -> "rust", "py" -> "python", "ts" -> "typescript",
-    "js" -> "javascript", "golang" -> "go", "kt" -> "kotlin",
-    "cpp" -> "c++", "cxx" -> "c++", "shell" -> "bash", "sh" -> "bash",
-    "yml" -> "yaml", "md" -> "markdown")
-  private val proper = Map(
-    "rust" -> "Rust", "python" -> "Python", "typescript" -> "TypeScript",
-    "javascript" -> "JavaScript", "go" -> "Go", "java" -> "Java",
-    "c++" -> "C++", "bash" -> "Bash", "yaml" -> "YAML",
-    "markdown" -> "Markdown", "kotlin" -> "Kotlin")
-  def normalize(s: String): String = {
-    val lc = s.toLowerCase
-    aliases.getOrElse(lc, lc)
-  }
+  /** reference parse_alias: raw alias lookup, else ascii-lowercase —
+    * deliberately NOT a lowercased lookup ("TS" → "ts", not
+    * "typescript"), matching languages.rs:5-11.
+    */
+  def normalize(s: String): String =
+    LanguageData.ExtMap.getOrElse(s, s.toLowerCase)
   def properCase(s: String): String = {
     val n = normalize(s)
-    proper.getOrElse(n, n)
+    LanguageData.ProperCaseMap.getOrElse(n, n)
   }
 }

@@ -33,7 +33,10 @@ class QueryParserSpec extends AnyFunSuite {
 
   test("lang alias normalization (languages.rs:5-11)") {
     assert(parse("repo:r1 lang:rs parse").head.lang.contains("rust"))
-    assert(Languages.normalize("TS") == "typescript")
+    assert(Languages.normalize("ts") == "typescript")
+    // reference parse_alias: RAW alias lookup, fallback lowercase — an
+    // uppercase alias spelling is not re-looked-up ("TS" → "ts")
+    assert(Languages.normalize("TS") == "ts")
     assert(Languages.properCase("rs") == "Rust")
   }
 
