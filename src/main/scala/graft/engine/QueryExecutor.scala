@@ -15,9 +15,11 @@ import graft.tokenize.CodeTokenizer
   * identity):
   *   - metadata filters: `org:`/`repo:` case-insensitive substring (regex
   *     if /…/) on the repo column, `lang:` exact on the normalized lang;
-  *     `branch:` parses but matches everything — the input_hint corpus
-  *     carries no branch column (documented divergence; the reference
-  *     indexes per-doc branch lists, indexes/file.rs:575).
+  *     `branch:` case-insensitive substring on the stored branch list
+  *     string (the reference's per-doc branch field, indexes/file.rs:575)
+  *     — corpora without a branch column index branch="" so a non-empty
+  *     `branch:` query matches nothing there, same as the reference on an
+  *     unbranched index.
   *   - `path:` with a plain literal is a SCORED PRIORITY FIELD (reference
   *     compiler.rs:135-140 + reader.rs:105): conjunctive BM25 over the
   *     "p:" path-trigram namespace, boosted ×10, then exact substring
@@ -110,6 +112,7 @@ class QueryExecutor(searcher: Searcher) {
     b.org.foreach(l => subOrRegex("repo", l))
     b.repo.foreach(l => subOrRegex("repo", l))
     if (includePath) b.path.foreach(l => subOrRegex("path", l))
+    b.branch.foreach(l => subOrRegex("branch", l))
     b.lang.foreach(l => and(col("lang") === l))
     pred.map(p => searcher.docs.filter(p).select("docId"))
   }

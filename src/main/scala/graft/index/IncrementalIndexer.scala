@@ -195,7 +195,8 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     val live = spark.read.parquet(gens.map(g => s"$g/docs"): _*)
       .filter($"indexed")
       .join(readTombstones(), Seq("docId"), "left_anti")
-      .select($"repo", $"path", $"commit", $"lang", $"content", $"contentSha")
+      .select($"repo", $"path", $"commit", $"lang", $"content",
+        $"contentSha", $"branch")
     val newBase = s"$root/base-new"
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)

@@ -14,7 +14,7 @@ case class CorpusRow(repo: String, path: String, commit: String,
 
 case class IdRow(docId: Long, repo: String, path: String,
                  commit: String, lang: String, content: String,
-                 contentSha: String)
+                 contentSha: String, branch: String)
 
 private case class TokBucket(term: String, docId: Long, tf: Int,
                              normId: Byte, bucket: Int)
@@ -24,7 +24,8 @@ private case class SlimDoc(docId: Long, path: String, content: String,
 
 private case class KeyedRow(bucket: Int, docKey: String, repo: String,
                             path: String, commit: String, lang: String,
-                            content: String, contentSha: String)
+                            content: String, contentSha: String,
+                            branch: String)
 
 private case class GramBucket(code: Long, docId: Long, normId: Byte,
                               bucket: Int)
@@ -95,9 +96,15 @@ class IndexBuilder(
     * functions of the key.
     */
   def withDocIds(corpus: DataFrame): Dataset[IdRow] = {
-    val withSha =
+    val withSha0 =
       if (corpus.columns.contains("contentSha")) corpus
       else corpus.withColumn("contentSha", sha2($"content", 256))
+    // branch is schema-optional (the input_hint corpus has none): absent
+    // column -> empty string, and `branch:` queries match nothing on such
+    // corpora (reference indexes per-doc branch lists, indexes/file.rs:575)
+    val withSha =
+      if (withSha0.columns.contains("branch")) withSha0
+      else withSha0.withColumn("branch", lit(""))
     val p = P
     val keyed = withSha
       .withColumn("docKey",
@@ -106,7 +113,7 @@ class IndexBuilder(
         ((conv(substring($"docKey", 1, 8), 16, 10).cast("long") * p) /
           4294967296L).cast("int"))
       .select($"bucket", $"docKey", $"repo", $"path", $"commit", $"lang",
-        $"content", $"contentSha")
+        $"content", $"contentSha", $"branch")
       .as[KeyedRow]
     val counts = keyed.groupBy("bucket").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -134,7 +141,8 @@ class IndexBuilder(
             next = idOffset + bOffsets.value(r.bucket)
           }
           next += 1
-          IdRow(next, r.repo, r.path, r.commit, r.lang, r.content, r.contentSha)
+          IdRow(next, r.repo, r.path, r.commit, r.lang, r.content,
+            r.contentSha, r.branch)
         }
       }
   }
@@ -315,7 +323,7 @@ object IndexBuilder {
   /** Index layout version — bump on any schema/codec/tokenizer-spec change
     * so cached index directories cannot be resumed across layouts.
     */
-  val FormatVersion = "graft-index-v3"
+  val FormatVersion = "graft-index-v4"
 
   /** Namespace bit for packed trigram codes: set = "p:" (path), clear =
     * "g:" (content). Codes use 48 low bits (3 UTF-16 chars).
@@ -330,7 +338,7 @@ object IndexBuilder {
   def buildDoc(r: IdRow): Doc = {
     if (!isIndexable(r.content))
       return Doc(r.docId, r.repo, r.path, r.commit, r.lang, "", r.contentSha,
-        0, 0.toByte, 0.0, Array.empty, indexed = false)
+        0, 0.toByte, 0.0, Array.empty, indexed = false, branch = r.branch)
     val docLen = CodeTokenizer.tokenize(r.content).length
     val b = scala.collection.mutable.ArrayBuilder.make[Int]
     var i = 0
@@ -344,7 +352,7 @@ object IndexBuilder {
       docLen, SmallFloat.intToByte4(docLen),
       if (lineEnds.length == 0) 0.0
       else r.content.length.toDouble / lineEnds.length,
-      lineEnds, indexed = true)
+      lineEnds, indexed = true, branch = r.branch)
   }
 
   /** Pure predicate form of the reference indexability limits. Surrogate

@@ -32,7 +32,8 @@ case class Doc(
     normId: Byte,
     avgLineLength: Double,
     lineEnds: Array[Int],
-    indexed: Boolean)
+    indexed: Boolean,
+    branch: String)
 
 /** One compressed posting block: up to PostingCodec.BlockSize entries of
   * (delta-docId varint, tf varint, normId byte). maxTfNorm is the

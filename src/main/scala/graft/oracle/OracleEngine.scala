@@ -19,14 +19,17 @@ import graft.tokenize.CodeTokenizer
   * only one of the two scoring paths — while the index layout, shuffle,
   * compression and top-k machinery are fully independent.
   */
-class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
-  // rows: (repo, path, commit, lang, content)
+class OracleEngine(rows: Seq[(String, String, String, String, String)],
+                   branches: Map[(String, String), String] = Map.empty) {
+  // rows: (repo, path, commit, lang, content); branches: optional
+  // (repo, path) → branch-list string (mirror of the schema-optional
+  // branch column)
 
   case class ODoc(docId: Long, repo: String, path: String, commit: String,
                   lang: String, content: String, tf: Map[String, Int],
                   symTf: Map[String, Int], grams: Set[String],
                   pGrams: Set[String], docLen: Int,
-                  normId: Byte, indexed: Boolean)
+                  normId: Byte, indexed: Boolean, branch: String)
 
   val docs: Vector[ODoc] = {
     // docId = rank of docKey = sha256(repo ∥ '\0' ∥ path ∥ '\0' ∥ commit)
@@ -38,9 +41,10 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
         graft.corpus.CorpusGen.sha256Hex(content)) // duplicate-docKey tiebreak
     }
       .zipWithIndex.map { case ((r, p, c, l, content), i) =>
+        val br = branches.getOrElse((r, p), "")
         if (!graft.index.IndexBuilder.isIndexable(content))
           ODoc(i + 1L, r, p, c, l, "", Map.empty, Map.empty, Set.empty,
-            Set.empty, 0, 0.toByte, indexed = false)
+            Set.empty, 0, 0.toByte, indexed = false, branch = br)
         else {
           val (tf, docLen) = CodeTokenizer.termFreqs(content)
           val g = CodeTokenizer.distinctTrigrams(content).toSet
@@ -50,7 +54,8 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
             sym.update(t, sym.getOrElse(t, 0) + 1)
           }
           ODoc(i + 1L, r, p, c, l, content, tf.toMap, sym.toMap, g, pg,
-            docLen, SmallFloat.intToByte4(docLen), indexed = true)
+            docLen, SmallFloat.intToByte4(docLen), indexed = true,
+            branch = br)
         }
       }.toVector
   }
@@ -182,6 +187,7 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)]) {
           .matcher(field.toLowerCase).find()
       b.org.forall(sub(d.repo, _)) && b.repo.forall(sub(d.repo, _)) &&
         (!includePath || b.path.forall(sub(d.path, _))) &&
+        b.branch.forall(sub(d.branch, _)) &&
         b.lang.forall(_ == d.lang)
     }
     // mirror of QueryExecutor.pathHits: 10 × conjunctive BM25 over path

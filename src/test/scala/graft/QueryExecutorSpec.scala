@@ -142,6 +142,33 @@ class QueryExecutorSpec extends AnyFunSuite {
     }
   }
 
+  test("branch: filters on the schema-optional branch column (rank identity)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val withBranch = corpus.withColumn("branch",
+      when(col("path").contains("mod1"), lit("origin/main,dev"))
+        .otherwise(lit("origin/main")))
+    val root = TestSpark.tempDir("qexec-branch")
+    new IndexBuilder(spark, root, bucketSize = 64, numPartitions = 3)
+      .build(withBranch)
+    val ex = new QueryExecutor(new Searcher(spark, root))
+    val brMap = withBranch.select("repo", "path", "branch").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val orc = new OracleEngine(
+      corpus.select("repo", "path", "commit", "lang", "content").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4))).toSeq, brMap)
+    for (q <- Seq("branch:dev if", "branch:origin parse",
+        "branch:nonexistent if", "branch:dev", "branch:dev or lang:go if")) {
+      val got = ex.execute(q, 50).collect()
+        .map(h => (h.docId, h.score)).toSeq.sortBy { case (d, s) => (-s, d) }
+      val want = orc.executeQuery(q, 50)
+      assert(got == want, s"query '$q'\nengine: ${got.take(8)}\noracle: ${want.take(8)}")
+    }
+    assert(ex.execute("branch:dev if", 50).count() > 0)
+    // a branchless corpus indexes branch="": non-empty branch: → nothing
+    assert(exec.execute("branch:dev if", 50).count() == 0)
+  }
+
   test("open:/listDir: immediate children of a path prefix (D6)") {
     val root = exec.executeOpen("open:true path:").collect()
       .map(r => (r.getString(1), r.getBoolean(2))).toSet
