@@ -238,6 +238,11 @@ object SparkEntry {
         conjunctive = true, useWand = true))
         .select("repo", "path")
     }),
+    "e_repo_search" -> ((s, d) => // RepoReader: repo-name sub-index, full
+      // verified name set (scored literal branch OR regex branch)
+      new graft.engine.QueryExecutor(indexFor(s, d))
+        .executeRepo("repo:rc1 or repo:/src1[0-9]/", AllK)
+        .select("name")),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(emb(s, d), 0L, 10)),
     "e_media_features" -> ((s, _) =>
       Multimodal.featureStats(Multimodal.synthMedia(s, 300))),
@@ -535,6 +540,10 @@ object SparkEntry {
           |WHERE source <> 'src0' AND doc_id IN (
           |  SELECT doc_id FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
           |  WHERE w IN ('merge','join') GROUP BY doc_id HAVING count(DISTINCT w) = 2)""".stripMargin,
+      "e_repo_search" ->
+        """SELECT DISTINCT source AS name FROM documents
+          |WHERE contains(lower(source), 'rc1')
+          |   OR regexp_matches(lower(source), 'src1[0-9]')""".stripMargin,
       "e_lsh_topk" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
           |dims AS (SELECT vec_id, d, emb[CAST(d AS INT)+1] AS x

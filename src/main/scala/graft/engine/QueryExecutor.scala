@@ -51,6 +51,15 @@ import graft.tokenize.CodeTokenizer
   * VERDICT: the old code shuffled every docId of the corpus through
   * groupByKey for `repo:foo`).
   */
+/** The four reference readers (query/execute.rs:373-387 dispatch order). */
+sealed trait ReaderKind
+object ReaderKind {
+  case object Content extends ReaderKind
+  case object Repo extends ReaderKind
+  case object File extends ReaderKind
+  case object Open extends ReaderKind
+}
+
 class QueryExecutor(searcher: Searcher) {
   import searcher.spark.implicits._
 
@@ -171,13 +180,135 @@ class QueryExecutor(searcher: Searcher) {
     }
   }
 
-  private def scoreConjunctive(terms: Seq[String]): Dataset[Hit] = {
-    if (terms.isEmpty) return searcher.spark.emptyDataset[Hit]
-    val ts = searcher.termStats(terms)
+  private def scoreConjunctive(terms: Seq[String]): Dataset[Hit] =
+    scoreConjunctiveOn(searcher, terms)
+
+  private def scoreConjunctiveOn(se: Searcher,
+                                 terms: Seq[String]): Dataset[Hit] = {
+    if (terms.isEmpty) return se.spark.emptyDataset[Hit]
+    val ts = se.termStats(terms)
     if (terms.exists(t => ts(t)._1 == 0L))
-      return searcher.spark.emptyDataset[Hit]
-    searcher.scoreAll(terms, ts.map { case (t, (_, w)) => t -> w },
+      return se.spark.emptyDataset[Hit]
+    se.scoreAll(terms, ts.map { case (t, (_, w)) => t -> w },
       conjunctive = true)
+  }
+
+  // ------------------------------------------------------------ dispatch
+  /** Which index reader a branch routes to — the exact query_matches
+    * matrix of the reference readers (indexes/reader.rs:84-93 Content,
+    * :232-243 Repo, :165-184 File, :290-306 Open), checked in the same
+    * priority order as query/execute.rs:373-387. None = no reader accepts
+    * the branch (the reference bails "mangled query").
+    */
+  def readerFor(b: FlatQuery): Option[ReaderKind] = {
+    val openTrue = b.open.contains(true)
+    if (!openTrue && b.target.isDefined) Some(ReaderKind.Content)
+    else if (!openTrue && b.repo.isDefined && b.path.isEmpty &&
+             b.target.isEmpty) Some(ReaderKind.Repo)
+    else if (!openTrue && b.target.isEmpty &&
+             (b.lang.isDefined || b.path.isDefined)) Some(ReaderKind.File)
+    else if (openTrue && b.repo.exists(!_.isRegex) && b.target.isEmpty &&
+             b.path.forall(!_.isRegex)) Some(ReaderKind.Open)
+    else None
+  }
+
+  /** First branch's accepted reader wins — the reference's for-loop over
+    * queries (query/execute.rs:344-390, including its documented
+    * heterogeneous-OR limitation: `symbol:foo or repo:bar` executes only
+    * the reader of the first matching branch).
+    */
+  def dispatch(input: String): Option[ReaderKind] =
+    QueryParser.parse(input).iterator.flatMap(readerFor(_).iterator)
+      .nextOption()
+
+  /** Repo-name search (RepoReader, query/execute.rs:641-715): BM25 over
+    * the repo sub-index's "g:" name trigrams, branch-union summed in parse
+    * order, then the BytesFilterCollector analog — keep a repo iff its
+    * name matches AT LEAST ONE branch pattern (substring for plain
+    * literals, regex for /…/; case per branch flag), mirroring
+    * `byte_filter_regexes.iter().any(...)`. Scores are computed BEFORE the
+    * byte filter, like the reference (the filter drops docs, never
+    * rescores). A <3-char plain literal has no trigram and degrades to an
+    * unscored (0f) candidate-all branch — the verify still makes it exact;
+    * the reference's 1–2-gram terms (NgramTokenizer(1,3)) would score such
+    * queries, a documented divergence on degenerate inputs.
+    *
+    * Returns (repoId, name, score) top-k, tie-break (score desc, repoId
+    * asc); repoId is the sub-index's deterministic sha-rank docId.
+    */
+  def executeRepo(input: String, k: Int): DataFrame = {
+    val rs = searcher.repoIndex.getOrElse(throw new IllegalStateException(
+      s"index at ${searcher.indexRoot} has no repoIndex sub-index"))
+    val branches = QueryParser.parse(input).filter(
+      readerFor(_).contains(ReaderKind.Repo))
+    require(branches.nonEmpty, s"no repo-routed branch in: $input")
+    def branchHits(b: FlatQuery): Dataset[Hit] = {
+      val l = b.repo.get
+      val caseSens = b.caseSensitive.getOrElse(false)
+      if (l.isRegex)
+        rs.regexAll(l.value, caseSens).select($"docId", $"score").as[Hit]
+      else if (l.value.length < 3) // no full trigram: degraded candidate-all
+        rs.docs.select($"docId", lit(0f).as("score")).as[Hit]
+      else scoreConjunctiveOn(rs, CodeTokenizer
+        .distinctTrigrams(l.value.toLowerCase, "g:").toSeq.sorted)
+    }
+    val summed: Dataset[Hit] =
+      if (branches.size == 1) branchHits(branches.head)
+      else {
+        val per = branches.zipWithIndex.map { case (b, i) =>
+          branchHits(b).map(h => (h.docId, i, h.score))
+        }
+        per.reduceLeft(_ union _).groupByKey(_._1).mapGroups { (id, it) =>
+          val arr = it.toArray.sortBy(_._2)
+          var s = 0f
+          var i = 0
+          while (i < arr.length) { s += arr(i)._3; i += 1 }
+          Hit(id, s)
+        }
+      }
+    // byte-filter verify: name matches any branch pattern
+    val anyMatch: Column = branches.map { b =>
+      val l = b.repo.get
+      val caseSens = b.caseSensitive.getOrElse(false)
+      val pat = (if (caseSens) "" else "(?i)") +
+        (if (l.isRegex) l.value else java.util.regex.Pattern.quote(l.value))
+      regexp_like($"name", lit(pat))
+    }.reduce(_ || _)
+    summed.toDF()
+      .join(rs.docs.select($"docId", $"repo".as("name")), "docId")
+      .filter(anyMatch)
+      .select($"docId".as("repoId"), $"name", $"score")
+      .orderBy($"score".desc, $"repoId".asc)
+      .limit(k)
+  }
+
+  /** Dispatched heterogeneous entry point (the reference's query_with,
+    * query/execute.rs:344-390): routes to the winning reader and returns a
+    * uniform (kind, id, name, path, score) frame — Content/File rows are
+    * file hits (name = repo), Repo rows are repo-name hits, Open rows are
+    * directory entries (path = entry, score 0, id 0, is_dir encoded as
+    * kind "dir"/"file-entry"). Throws on a query no reader accepts.
+    */
+  def executeAny(input: String, k: Int): DataFrame = {
+    dispatch(input) match {
+      case Some(ReaderKind.Content) | Some(ReaderKind.File) =>
+        execute(input, k).toDF()
+          .join(searcher.docs.select($"docId", $"repo", $"path"), "docId")
+          .select(lit("file").as("kind"), $"docId".as("id"),
+            $"repo".as("name"), $"path", $"score")
+          .orderBy($"score".desc, $"id".asc)
+      case Some(ReaderKind.Repo) =>
+        executeRepo(input, k)
+          .select(lit("repo").as("kind"), $"repoId".as("id"), $"name",
+            lit(null: String).as("path"), $"score")
+      case Some(ReaderKind.Open) =>
+        executeOpen(input).limit(k)
+          .select(when($"is_dir", lit("dir")).otherwise(lit("file-entry"))
+            .as("kind"), lit(0L).as("id"), $"repo".as("name"),
+            $"entry".as("path"), lit(0f).as("score"))
+      case None =>
+        throw new IllegalArgumentException(s"mangled query: $input")
+    }
   }
 
   /** Directory listing for `open:true` queries — the D6 dir-documents /

@@ -43,6 +43,16 @@ class Searcher(@transient val spark: SparkSession, val indexRoot: String) {
     spark.read.parquet(s"$indexRoot/dict").as[DictEntry]
   lazy val docs: DataFrame = spark.read.parquet(s"$indexRoot/docs")
 
+  /** Repo-name sub-index when present (IndexBuilder.buildRepoIndex — the
+    * reference's Repo index, indexes/schema.rs:146-168): same layout, so
+    * it is simply another Searcher. None on indexes built without it
+    * (e.g. incremental deltas).
+    */
+  lazy val repoIndex: Option[Searcher] =
+    if (new java.io.File(s"$indexRoot/repoIndex/dict/_SUCCESS").exists())
+      Some(new Searcher(spark, s"$indexRoot/repoIndex"))
+    else None
+
   /** Dict cached on the driver when small enough (one lookup job total
     * instead of one per query). At web scale the term dictionary can
     * exceed driver memory, so the cache is size-gated and large dicts fall

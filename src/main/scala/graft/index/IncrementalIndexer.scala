@@ -134,8 +134,12 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
       if (stale.limit(1).count() > 0) appendTombstones(stale)
     }
     val offset = maxDocId()
+    // deltas skip the repo-name sub-index: repo search reflects the base
+    // generation until compaction rebuilds it (documented freshness lag —
+    // the reference likewise rewrites its Repo index out of band of file
+    // deltas, indexes/repo.rs)
     val builder = new IndexBuilder(spark, deltaPath(gen), bucketSize,
-      docIdOffset = offset)
+      docIdOffset = offset, includeRepoIndex = false)
     builder.build(freshDf)
     rmDir(staging)
     freshCount

@@ -60,7 +60,8 @@ class IndexBuilder(
     bucketSize: Long = 1L << 20,
     includeTrigrams: Boolean = true,
     numPartitions: Int = 0,
-    docIdOffset: Long = 0L) {
+    docIdOffset: Long = 0L,
+    includeRepoIndex: Boolean = true) {
 
   import spark.implicits._
   import IndexBuilder._
@@ -282,6 +283,30 @@ class IndexBuilder(
     buildDocs(corpus)
     buildPostings(corpus)
     buildDict()
+    if (includeRepoIndex) buildRepoIndex()
+  }
+
+  /** Repo-name sub-index (reference Repo index, indexes/schema.rs:146-168 +
+    * RepoReader dispatch query/execute.rs:377-379): a second, much smaller
+    * index in the SAME layout under `repoIndex/`, whose "documents" are the
+    * distinct repo names (content = name). Free-text repo-name search then
+    * reuses the whole Searcher machinery: the "g:" trigram namespace of
+    * this sub-index plays the role of the reference's NgramTokenizer(1,3)
+    * name field (indexes.rs:249), scored with BM25 and substring/regex
+    * verified by the executor (BytesFilterCollector analog).
+    *
+    * Scale: `distinct` over repo names is one shuffle of short strings
+    * (10^8 repos from 10^12 files), and the nested build is the same
+    * distributed pipeline as the main index — nothing driver-side.
+    */
+  def buildRepoIndex(): Unit = {
+    val names = spark.read.parquet(docsPath)
+      .select($"repo").distinct()
+      .select($"repo", lit("").as("path"), lit("").as("commit"),
+        lit("").as("lang"), $"repo".as("content"))
+    new IndexBuilder(spark, s"$indexRoot/repoIndex", bucketSize,
+      includeTrigrams, numPartitions, docIdOffset = 0L,
+      includeRepoIndex = false).build(names)
   }
 
   /** Layout-version gate, run before any stage resumes: a FORMAT mismatch
@@ -323,7 +348,7 @@ object IndexBuilder {
   /** Index layout version — bump on any schema/codec/tokenizer-spec change
     * so cached index directories cannot be resumed across layouts.
     */
-  val FormatVersion = "graft-index-v4"
+  val FormatVersion = "graft-index-v5"
 
   /** Namespace bit for packed trigram codes: set = "p:" (path), clear =
     * "g:" (content). Codes use 48 low bits (3 UTF-16 chars).

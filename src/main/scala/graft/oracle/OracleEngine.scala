@@ -316,4 +316,75 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)],
   def searchRegex(pattern: String, k: Int,
                   caseSensitive: Boolean = false): Seq[(Long, Float)] =
     topK(regexHitsAll(pattern, caseSensitive), k)
+
+  /** Conjunctive BM25 over the content-trigram namespace (tf = 1), no
+    * verify — the scored candidate set of a plain repo-name query.
+    */
+  def gramConjunctiveHits(grams: Seq[String]): Seq[(Long, Float)] = {
+    if (grams.isEmpty) return Nil
+    if (grams.exists(g => gramDf.getOrElse(g, 0L) == 0L)) return Nil
+    val weights = grams.map(g => Bm25.weight(gramDf(g), n))
+    docs.flatMap { d =>
+      if (grams.forall(d.grams.contains)) {
+        var s = 0f
+        var i = 0
+        while (i < grams.length) {
+          s += Bm25.partial(weights(i), 1, normCache(d.normId & 0xff))
+          i += 1
+        }
+        Some(d.docId -> s)
+      } else None
+    }
+  }
+
+  /** Mirror of IndexBuilder.buildRepoIndex: an inner oracle whose docs are
+    * the distinct repo names (content = name), docIds = the same sha-rank.
+    */
+  lazy val repoOracle: OracleEngine =
+    new OracleEngine(rows.map(_._1).distinct.map(nm => (nm, "", "", "", nm)))
+
+  /** Mirror of QueryExecutor.executeRepo — same branch routing
+    * (RepoReader query_matches), same scored-then-any-verify order, same
+    * branch-order f32 union sum, same (score desc, repoId asc) tie-break.
+    * Returns (repoId, name, score).
+    */
+  def executeRepoQuery(input: String, k: Int): Seq[(Long, String, Float)] = {
+    import graft.query.QueryParser
+    import QueryParser.FlatQuery
+    val branches = QueryParser.parse(input).filter { b =>
+      !b.open.contains(true) && b.repo.isDefined && b.path.isEmpty &&
+        b.target.isEmpty
+    }
+    require(branches.nonEmpty, s"no repo-routed branch in: $input")
+    def branchHits(b: FlatQuery): Seq[(Long, Float)] = {
+      val l = b.repo.get
+      val caseSens = b.caseSensitive.getOrElse(false)
+      if (l.isRegex) repoOracle.regexHitsAll(l.value, caseSens)
+      else if (l.value.length < 3) // no full trigram: degraded candidate-all
+        repoOracle.docs.map(d => (d.docId, 0f))
+      else repoOracle.gramConjunctiveHits(
+        CodeTokenizer.distinctTrigrams(l.value.toLowerCase).toSeq.sorted)
+    }
+    val perDoc = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Int, Float)]]
+    branches.zipWithIndex.foreach { case (b, i) =>
+      branchHits(b).foreach { case (id, s) =>
+        perDoc.getOrElseUpdate(id, mutable.ArrayBuffer.empty) += ((i, s))
+      }
+    }
+    val patterns = branches.map { b =>
+      val l = b.repo.get
+      val caseSens = b.caseSensitive.getOrElse(false)
+      java.util.regex.Pattern.compile((if (caseSens) "" else "(?i)") +
+        (if (l.isRegex) l.value else java.util.regex.Pattern.quote(l.value)))
+    }
+    val hits = perDoc.iterator.flatMap { case (id, parts) =>
+      val name = repoOracle.docs((id - 1).toInt).repo
+      if (patterns.exists(_.matcher(name).find())) {
+        var s = 0f
+        parts.sortBy(_._1).foreach(p => s += p._2)
+        Some((id, name, s))
+      } else None
+    }.toSeq
+    hits.sortBy { case (id, _, s) => (-s, id) }.take(k)
+  }
 }

@@ -169,6 +169,63 @@ class QueryExecutorSpec extends AnyFunSuite {
     assert(exec.execute("branch:dev if", 50).count() == 0)
   }
 
+  test("reader dispatch matrix (reference query_matches, reader.rs + execute.rs:373-387)") {
+    import graft.engine.ReaderKind._
+    val cases = Seq(
+      "parse" -> Some(Content),
+      "symbol:read" -> Some(Content),
+      "repo:repo1 parse" -> Some(Content),
+      "repo:repo1" -> Some(Repo),
+      "repo:repo1 lang:rust" -> Some(Repo), // Repo checked before File
+      "repo:/r.p/ " -> Some(Repo),
+      "lang:rust" -> Some(File),
+      "path:mod1" -> Some(File),
+      "repo:repo1 path:mod1" -> Some(File), // path unsets RepoReader
+      "open:true repo:repo1" -> Some(Open),
+      "open:true repo:repo1 path:mod1" -> Some(Open),
+      "open:true repo:/r.1/" -> None, // open rejects regex repo
+      "branch:dev" -> None, // no reader accepts: "mangled query"
+      "repo:repo1 or parse" -> Some(Repo)) // first branch wins (FIXME in execute.rs)
+    for ((q, want) <- cases)
+      assert(exec.dispatch(q) == want, s"query '$q'")
+  }
+
+  test("repo-name search rank identity (RepoReader, execute.rs:641-715)") {
+    for (q <- Seq(
+        "repo:repo1", // single scored literal
+        "repo:org", // trigram shared by every name
+        "repo:github.com/org3", // multi-gram literal
+        "repo:/repo[0-3]/", // regex branch (two-phase on the sub-index)
+        "repo:repo1 or repo:repo2", // branch union sum
+        "repo:repo1 lang:rust", // lang present but ignored by RepoReader
+        "repo:zz", // <3 chars, degraded + verify → empty
+        "repo:o", // <3 chars, degraded → all names, score 0
+        "case:sensitive repo:REPO1", // case-sensitive verify → empty
+        "repo:doesnotexist")) {
+      val got = exec.executeRepo(q, 50).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getFloat(2))).toSeq
+        .sortBy { case (id, _, s) => (-s, id) }
+      val want = oracle.executeRepoQuery(q, 50)
+      assert(got == want, s"query '$q'\nengine: ${got.take(8)}\noracle: ${want.take(8)}")
+    }
+    assert(exec.executeRepo("repo:repo1", 50).count() == 1)
+    assert(exec.executeRepo("repo:org", 50).count() == 10)
+    assert(exec.executeRepo("repo:o", 50).count() == 10)
+    assert(exec.executeRepo("repo:zz", 50).count() == 0)
+  }
+
+  test("executeAny routes to the winning reader (query_with analog)") {
+    val f = exec.executeAny("parse", 5).collect()
+    assert(f.nonEmpty && f.forall(_.getString(0) == "file"))
+    val r = exec.executeAny("repo:repo1", 5).collect()
+    assert(r.map(r0 => (r0.getString(0), r0.getString(2))).toSeq ==
+      Seq(("repo", "github.com/org1/repo1")))
+    val o = exec.executeAny("open:true repo:repo1 path:", 100).collect()
+    assert(o.nonEmpty && o.forall(x =>
+      Set("dir", "file-entry")(x.getString(0))))
+    intercept[IllegalArgumentException](exec.executeAny("branch:dev", 5))
+  }
+
   test("open:/listDir: immediate children of a path prefix (D6)") {
     val root = exec.executeOpen("open:true path:").collect()
       .map(r => (r.getString(1), r.getBoolean(2))).toSet
