@@ -223,6 +223,24 @@ object SparkEntry {
       }.toSeq.toDF("docId", "repo", "path", "n_snippets", "n_highlights",
         "first_snippet")
     }),
+    "e_symbol_snippets" -> ((s, d) => { // symbol-mode Snipper: highlights
+      // intersected with symbol-definition ranges (snippet.rs:144-205)
+      import s.implicits._
+      val se = codeIndexFor(s, d)
+      val rows = new graft.engine.QueryExecutor(se)
+        .execute("symbol:merge", AllK).toDF()
+        .join(se.docs.select("docId", "repo", "path", "content", "lineEnds"),
+          "docId")
+        .select($"repo", $"path", $"content", $"lineEnds").collect()
+      rows.map { r =>
+        val snips = graft.engine.Snippets.forDocSymbols(r.getString(2),
+          r.getSeq[Int](3).toArray, "merge")
+        (r.getString(0), r.getString(1), snips.size,
+          snips.map(_.highlights.size).sum,
+          snips.headOption.map(_.data).getOrElse(""))
+      }.toSeq.toDF("repo", "path", "n_snippets", "n_highlights",
+        "first_snippet")
+    }),
     "e_incremental" -> ((s, d) => {
       // base on the first half, ingest the second, delete one source repo,
       // search across generations with tombstone-aware WAND (D2 + S8)
@@ -535,6 +553,11 @@ object SparkEntry {
            |  CAST(len(regexp_extract_all(content, 'merge\\s+join')) AS INT) AS n_highlights,
            |  substr(content, 1, 60) AS first_snippet
            |FROM ids WHERE regexp_matches(content, 'merge\\s+join')""".stripMargin,
+      "e_symbol_snippets" ->
+        """SELECT source AS repo, 'code/' || doc_id AS path,
+          |  CAST(1 AS INT) AS n_snippets, CAST(1 AS INT) AS n_highlights,
+          |  'fn ' || split_part(text,' ',1) || '_run() { return 0 }' AS first_snippet
+          |FROM documents WHERE split_part(text, ' ', 1) = 'merge'""".stripMargin,
       "e_incremental" ->
         """SELECT source AS repo, 'doc/' || doc_id AS path FROM documents
           |WHERE source <> 'src0' AND doc_id IN (

@@ -41,18 +41,29 @@ object Snippets {
   /** All snippets for one document (reference Snipper::all_for_doc,
     * snippet.rs:143-224 + expand/merge :226-293): regex match ranges →
     * ±context-line windows → merged when overlapping/adjacent.
+    *
+    * symbolRanges = Some(ranges) is SYMBOL MODE (find_symbols,
+    * snippet.rs:144-205): a match survives only when fully contained in a
+    * symbol-definition range — for `symbol:n` over
+    * `const cool_beans = beans();` only the `n` inside the defined symbol
+    * `cool_beans` highlights, not the ones in `const`/`beans()`.
     */
   def forDoc(content: String, lineEnds: Array[Int], pattern: String,
-             caseSensitive: Boolean = false, context: Int = 1): Seq[Snippet] = {
+             caseSensitive: Boolean = false, context: Int = 1,
+             symbolRanges: Option[Seq[(Int, Int)]] = None): Seq[Snippet] = {
     if (content.isEmpty || lineEnds.isEmpty) return Nil
     val re = java.util.regex.Pattern.compile(
       if (caseSensitive) pattern else "(?i)" + pattern)
     val m = re.matcher(content)
+    val inSymbol: (Int, Int) => Boolean = symbolRanges match {
+      case None => (_, _) => true
+      case Some(rs) => (s, e) => rs.exists(r => s >= r._1 && e <= r._2)
+    }
     // collect match ranges with their expanded line windows
     case class Win(fromLine: Int, toLine: Int, hl: (Int, Int))
     val wins = mutable.ArrayBuffer.empty[Win]
     while (m.find() && wins.size < 1000) {
-      if (m.end() > m.start()) {
+      if (m.end() > m.start() && inSymbol(m.start(), m.end())) {
         val fromLine = math.max(0, lineOf(lineEnds, m.start()) - context)
         val toLine = math.min(lineEnds.length - 1,
           lineOf(lineEnds, math.max(m.start(), m.end() - 1)) + context)
@@ -81,6 +92,17 @@ object Snippets {
         }.toSeq)
     }.toSeq
   }
+
+  /** Symbol-mode snippets with ranges from the indexed symbol extractor —
+    * the find_symbols(true) Snipper configuration used for `symbol:`
+    * targets (query/execute.rs builds the Snipper with find_symbols for
+    * symbol queries).
+    */
+  def forDocSymbols(content: String, lineEnds: Array[Int], pattern: String,
+                    caseSensitive: Boolean = false,
+                    context: Int = 1): Seq[Snippet] =
+    forDoc(content, lineEnds, pattern, caseSensitive, context,
+      Some(graft.tokenize.SymbolExtractor.symbolRanges(content)))
 
   /** Highlight ranges of a pattern inside a short string (path / repo-name
     * results — reference HighlightedString.apply_regex, snippet.rs:296+).

@@ -29,11 +29,13 @@ object SymbolExtractor {
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '_'
 
-  /** Symbol definition NAMES found in the content (raw identifiers,
-    * pre-tokenization), in order of appearance.
+  /** Symbol definition RANGES — (start, end) char offsets of each
+    * definition identifier, in order of appearance. The analog of the
+    * reference's per-symbol byte ranges (symbol_locations, snippet.rs:157-162)
+    * that symbol-mode snippets intersect highlights with.
     */
-  def symbolNames(content: String): Seq[String] = {
-    val out = Vector.newBuilder[String]
+  def symbolRanges(content: String): Seq[(Int, Int)] = {
+    val out = Vector.newBuilder[(Int, Int)]
     val n = content.length
     var i = 0
     while (i < n) {
@@ -53,7 +55,7 @@ object SymbolExtractor {
           if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '_') {
             val idStart = j
             while (j < n && isWordChar(content.charAt(j))) j += 1
-            out += content.substring(idStart, j)
+            out += ((idStart, j))
             i = j // consume the identifier (regex find() semantics)
           }
         }
@@ -61,6 +63,12 @@ object SymbolExtractor {
     }
     out.result()
   }
+
+  /** Symbol definition NAMES found in the content (raw identifiers,
+    * pre-tokenization), in order of appearance.
+    */
+  def symbolNames(content: String): Seq[String] =
+    symbolRanges(content).map { case (s, e) => content.substring(s, e) }
 
   /** Tokenized symbol terms (lowercased sub-tokens of every definition
     * name) — what gets indexed under the "s:" namespace.

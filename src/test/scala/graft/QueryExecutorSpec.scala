@@ -90,6 +90,34 @@ class QueryExecutorSpec extends AnyFunSuite {
     assert(merged.head.highlights.size >= 5)
   }
 
+  test("symbol-mode snippets intersect highlights with symbol ranges (snippet.rs:144-205)") {
+    def lineEnds(s: String): Array[Int] = {
+      val b = Array.newBuilder[Int]
+      s.indices.foreach(i => if (s.charAt(i) == '\n') b += i)
+      if (s.isEmpty || s.last != '\n') b += s.length
+      b.result()
+    }
+    // the reference's own doc example: only the `n` inside the defined
+    // symbol `cool_beans` highlights, not the ones in `const`/`beans()`
+    val c1 = "const cool_beans = beans();"
+    assert(SymbolExtractor.symbolNames(c1) == Seq("cool_beans"))
+    val s1 = Snippets.forDocSymbols(c1, lineEnds(c1), "n")
+    assert(s1.size == 1)
+    assert(s1.head.highlights == Seq((14, 15))) // the n of cool_bea[n]s
+    // plain (non-symbol) mode still highlights every match
+    assert(Snippets.forDoc(c1, lineEnds(c1), "n")
+      .head.highlights.size == 3)
+    // two symbols, pattern matching only one: the other match (inside
+    // `beta` but not matched) and non-symbol text stay unhighlighted
+    val c2 = "fn alpha() { beta() }\nfn beta() {}"
+    assert(SymbolExtractor.symbolNames(c2) == Seq("alpha", "beta"))
+    val s2 = Snippets.forDocSymbols(c2, lineEnds(c2), "beta")
+    assert(s2.size == 1 && s2.head.highlights.size == 1)
+    assert(s2.head.lineStart == 0) // the line-1 definition, ±1 context
+    // match exists but only outside any symbol range → zero snippets
+    assert(Snippets.forDocSymbols(c2, lineEnds(c2), "\\{\\}").isEmpty)
+  }
+
   test("snippet highlight on short strings") {
     assert(Snippets.highlight("src/parser/mod.rs", "parse") == Seq((4, 9)))
     assert(Snippets.highlight("AbcAbc", "abc") == Seq((0, 3), (3, 6)))
