@@ -156,6 +156,10 @@ class IndexBuilder(
   def buildDocs(corpus: DataFrame): Unit = {
     ensureFormat()
     if (done(docsPath) && done(statsPath)) return
+    ProgressReporter.inStage(spark, "docs") { buildDocsBody(corpus) }
+  }
+
+  private def buildDocsBody(corpus: DataFrame): Unit = {
     val lin = newLineageAcc()
     // ALL rows get a doc — files failing the indexability limits become
     // metadata-only stubs with empty stored content (reference D7,
@@ -189,6 +193,10 @@ class IndexBuilder(
   def buildPostings(corpus: DataFrame): Unit = {
     ensureFormat()
     if (done(postingsPath)) return
+    ProgressReporter.inStage(spark, "postings") { buildPostingsBody() }
+  }
+
+  private def buildPostingsBody(): Unit = {
     val stats = readStats()
     val bNormCache = spark.sparkContext.broadcast(
       Bm25.normCache(stats.avgdl.toFloat))
@@ -264,12 +272,14 @@ class IndexBuilder(
   def buildDict(): Unit = {
     ensureFormat()
     if (done(dictPath)) return
+    ProgressReporter.inStage(spark, "dict") {
     spark.read.parquet(postingsPath)
       .groupBy($"term")
       .agg(sum($"df").as("df"), sum($"cf").as("cf"),
         max($"maxTfNorm").as("maxTfNorm"))
       .as[DictEntry]
       .write.mode("overwrite").parquet(dictPath)
+    }
   }
 
   /** Full build with resume: stages skip when their `_SUCCESS` marker is

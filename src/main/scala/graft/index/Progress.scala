@@ -1,0 +1,85 @@
+package graft.index
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerStageSubmitted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Live per-stage progress event (reference D9: bloop streams per-repo
+  * index progress percentages to its UI while syncing,
+  * server/bleep/src/repo — here re-expressed against Spark's scheduler:
+  * tasks of the job group stand in for files of the repo).
+  */
+case class ProgressEvent(stage: String, tasksDone: Int, tasksTotal: Int) {
+  def percent: Int =
+    if (tasksTotal <= 0) 0 else (tasksDone * 100) / tasksTotal
+}
+
+/** SparkListener that turns scheduler events for `graft:<stage>` job
+  * groups into monotone ProgressEvents — the Spark-native replacement for
+  * the reference's callback-per-file progress reporting. Attach with
+  * `ProgressReporter.attach(spark)(onEvent)`, detach with `close()`.
+  *
+  * Scale note: this observes DRIVER-side scheduler events only (O(tasks)
+  * tiny objects); it adds zero work to executors, unlike per-row
+  * accumulator schemes, so it is safe to leave attached on a 1000-executor
+  * build.
+  */
+class ProgressReporter(spark: SparkSession,
+                       onEvent: ProgressEvent => Unit) extends SparkListener {
+
+  private val stageGroup = mutable.Map.empty[Int, String] // stageId → stage
+  private val groupTotals = mutable.Map.empty[String, Int]
+  private val groupDone = mutable.Map.empty[String, Int]
+
+  override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+    val group = Option(jobStart.properties)
+      .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+      .getOrElse("")
+    if (group.startsWith(ProgressReporter.GroupPrefix)) {
+      val stage = group.stripPrefix(ProgressReporter.GroupPrefix)
+      synchronized {
+        jobStart.stageIds.foreach(id => stageGroup(id) = stage)
+      }
+    }
+  }
+
+  override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+    synchronized {
+      stageGroup.get(s.stageInfo.stageId).foreach { st =>
+        groupTotals(st) = groupTotals.getOrElse(st, 0) + s.stageInfo.numTasks
+        onEvent(ProgressEvent(st, groupDone.getOrElse(st, 0), groupTotals(st)))
+      }
+    }
+
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+    stageGroup.get(t.stageId).foreach { st =>
+      groupDone(st) = groupDone.getOrElse(st, 0) + 1
+      onEvent(ProgressEvent(st, groupDone(st), groupTotals.getOrElse(st, 0)))
+    }
+  }
+
+  override def onStageCompleted(s: SparkListenerStageCompleted): Unit = ()
+
+  def close(): Unit = spark.sparkContext.removeSparkListener(this)
+}
+
+object ProgressReporter {
+  val GroupPrefix = "graft:"
+
+  def attach(spark: SparkSession)(
+      onEvent: ProgressEvent => Unit): ProgressReporter = {
+    val r = new ProgressReporter(spark, onEvent)
+    spark.sparkContext.addSparkListener(r)
+    r
+  }
+
+  /** Run `body` under the job group progress reporters key on. */
+  def inStage[T](spark: SparkSession, stage: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(GroupPrefix + stage, s"graft index stage $stage",
+      interruptOnCancel = false)
+    try body
+    finally sc.clearJobGroup()
+  }
+}

@@ -264,4 +264,34 @@ class EngineSpec extends AnyFunSuite {
       .select("bucket").distinct().count()
     assert(buckets > 1, "bucketSize=64 must split the hot term across buckets")
   }
+
+  test("live per-stage progress events during a build (D9)") {
+    import graft.index.{ProgressEvent, ProgressReporter}
+    import scala.jdk.CollectionConverters._
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[ProgressEvent]()
+    val rep = ProgressReporter.attach(spark)(events.add(_))
+    try {
+      val root = TestSpark.tempDir("progress")
+      new IndexBuilder(spark, root, bucketSize = 64, numPartitions = 3)
+        .build(corpus)
+      // the listener bus is async; wait until every stage reports complete
+      val stages = Set("docs", "postings", "dict")
+      def byStage = events.asScala.toVector.groupBy(_.stage)
+      def complete(m: Map[String, Vector[ProgressEvent]]): Boolean =
+        stages.subsetOf(m.keySet) && stages.forall { st =>
+          val last = m(st).last
+          last.tasksTotal > 0 && last.tasksDone == last.tasksTotal
+        }
+      val deadline = System.currentTimeMillis() + 20000
+      while (System.currentTimeMillis() < deadline && !complete(byStage))
+        Thread.sleep(200)
+      val m = byStage
+      assert(complete(m), s"incomplete progress: ${m.view.mapValues(_.last).toMap}")
+      for (st <- stages) {
+        val done = m(st).map(_.tasksDone)
+        assert(done == done.sorted, s"$st progress not monotone")
+        assert(m(st).last.percent == 100)
+      }
+    } finally rep.close()
+  }
 }
