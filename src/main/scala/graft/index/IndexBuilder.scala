@@ -310,13 +310,20 @@ class IndexBuilder(
     * distributed pipeline as the main index — nothing driver-side.
     */
   def buildRepoIndex(): Unit = {
+    if (done(s"$indexRoot/repoIndex/dict")) return
+    // persist the distinct names: the nested stages otherwise each re-scan
+    // the FULL parent docs table (data-proportional at 10^12 files) just to
+    // re-derive this O(#repos) frame
     val names = spark.read.parquet(docsPath)
       .select($"repo").distinct()
       .select($"repo", lit("").as("path"), lit("").as("commit"),
         lit("").as("lang"), $"repo".as("content"))
-    new IndexBuilder(spark, s"$indexRoot/repoIndex", bucketSize,
-      includeTrigrams, numPartitions, docIdOffset = 0L,
-      includeRepoIndex = false).build(names)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      new IndexBuilder(spark, s"$indexRoot/repoIndex", bucketSize,
+        includeTrigrams, numPartitions, docIdOffset = 0L,
+        includeRepoIndex = false).build(names)
+    finally names.unpersist()
   }
 
   /** Layout-version gate, run before any stage resumes: a FORMAT mismatch
