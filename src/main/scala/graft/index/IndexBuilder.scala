@@ -177,7 +177,8 @@ class IndexBuilder(
       .head()
     val n = st.getLong(0)
     val t = st.getLong(1)
-    val stats = IndexStats(n, t, if (n == 0) 0.0 else t.toDouble / n)
+    val stats = IndexStats(n, t, if (n == 0) 0.0 else t.toDouble / n,
+      bucketSize)
     Seq(stats).toDS().coalesce(1).write.mode("overwrite").parquet(statsPath)
   }
 
@@ -365,7 +366,7 @@ object IndexBuilder {
   /** Index layout version — bump on any schema/codec/tokenizer-spec change
     * so cached index directories cannot be resumed across layouts.
     */
-  val FormatVersion = "graft-index-v5"
+  val FormatVersion = "graft-index-v6"
 
   /** Namespace bit for packed trigram codes: set = "p:" (path), clear =
     * "g:" (content). Codes use 48 low bits (3 UTF-16 chars).

@@ -67,8 +67,13 @@ case class PostingRun(
 /** Global per-term stats (term dictionary). */
 case class DictEntry(term: String, df: Long, cf: Long, maxTfNorm: Float)
 
-/** Corpus-level scoring stats: n docs, total tokens, avgdl = total/n. */
-case class IndexStats(n: Long, totalTokens: Long, avgdl: Double)
+/** Corpus-level scoring stats: n docs, total tokens, avgdl = total/n.
+  * bucketSize is the build's docId-range bucket width — stored so
+  * query-time operators (e.g. the tombstone cogroup WAND) can re-derive a
+  * docId's bucket without the builder.
+  */
+case class IndexStats(n: Long, totalTokens: Long, avgdl: Double,
+                      bucketSize: Long)
 
 /** Per-stage per-partition lineage + metrics row (SURVEY §4.5): enables
   * resume-after-failure audit and is the scale observability surface.

@@ -24,21 +24,24 @@ import graft.engine.{Hit, Searcher}
   *     never occupies a local top-k slot) and docs/scoreAll use a
   *     broadcast anti-join.
   *   - larger (delete a 1B-doc repo): nothing is collected or broadcast —
-  *     docs/scoreAll fall back to a shuffle anti-join and search takes the
-  *     exhaustive path (WAND local heaps cannot be made tombstone-aware
-  *     without shipping the set). Correct at any size, no executor OOM.
+  *     docs/scoreAll use a shuffle anti-join, and WAND runs through the
+  *     tombstone COGROUP path (Searcher.wandTopKCogroup): dead docIds are
+  *     co-partitioned with the posting runs on the docId-range bucket, so
+  *     every task sees exactly its range's slice. Correct at any size, no
+  *     executor OOM, block-max pruning preserved.
   */
 class MultiSearcher(spark0: SparkSession, generations: Seq[String],
-                    tombstones: DataFrame)
+                    tombstones: DataFrame,
+                    /** Ship-to-executor gate: 2M sorted longs = 16 MB —
+                      * comfortably below executor/task broadcast budgets.
+                      * A constructor param so tests can force the cogroup
+                      * path on small corpora.
+                      */
+                    val TombstoneShipMax: Long = 2000000L)
     extends Searcher(spark0, generations.head) {
   import spark0.implicits._
 
   require(generations.nonEmpty, "no live index generations")
-
-  /** Ship-to-executor gate: 2M sorted longs = 16 MB — comfortably below
-    * executor/task broadcast budgets.
-    */
-  val TombstoneShipMax = 2000000L
 
   @transient private lazy val shippedTombstones: Option[Array[Long]] = {
     val c = tombstones.limit((TombstoneShipMax + 1).toInt).count()
@@ -70,7 +73,10 @@ class MultiSearcher(spark0: SparkSession, generations: Seq[String],
       spark0.read.parquet(s"$g/stats").as[IndexStats].head())
     val n = parts.map(_.n).sum
     val t = parts.map(_.totalTokens).sum
-    IndexStats(n, t, if (n == 0) 0.0 else t.toDouble / n)
+    val bs = parts.map(_.bucketSize).distinct
+    require(bs.size == 1,
+      s"generations disagree on bucketSize: $bs — cannot merge buckets")
+    IndexStats(n, t, if (n == 0) 0.0 else t.toDouble / n, bs.head)
   }
 
   override lazy val docs: DataFrame =
@@ -86,11 +92,18 @@ class MultiSearcher(spark0: SparkSession, generations: Seq[String],
       .join(tombstoneSide, Seq("docId"), "left_anti")
       .as[Hit]
 
-  /** WAND allowed when the tombstone set shipped (dead-doc skip active in
-    * the bucket scorers); exhaustive otherwise.
+  /** WAND stays on at every tombstone size: shipped dead-doc skip when the
+    * set is small, bucket-cogroup WAND when it is not.
     */
   override def search(terms0: Seq[String], k: Int, conjunctive: Boolean,
-                      useWand: Boolean): Dataset[Hit] =
-    super.search(terms0, k, conjunctive,
-      useWand = useWand && shippedTombstones.isDefined)
+                      useWand: Boolean): Dataset[Hit] = {
+    if (!useWand || shippedTombstones.isDefined)
+      return super.search(terms0, k, conjunctive, useWand)
+    val terms = terms0.distinct.sorted
+    val ts = termStats(terms)
+    if (conjunctive && terms.exists(t => ts(t)._1 == 0L))
+      return spark0.emptyDataset[Hit]
+    wandTopKCogroup(terms, ts.map { case (t, (_, w)) => t -> w }, k,
+      conjunctive, tombstones.select($"docId").as[Long])
+  }
 }

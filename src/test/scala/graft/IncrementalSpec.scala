@@ -182,24 +182,35 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
-  test("oversize tombstone set: no ship, shuffle anti-join fallback stays correct") {
+  test("oversize tombstone set: cogroup WAND, no ship, stays rank-identical") {
     val root = TestSpark.tempDir("inc-bigtomb")
     val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
     inc.buildBase(corpusA)
+    inc.ingest(corpusB) // multi-generation buckets through the cogroup too
     val repo = corpusA.select("repo").distinct().orderBy("repo")
       .limit(1).collect()(0).getString(0)
     inc.deleteRepo(repo)
-    // force the >gate path (as if billions of tombstones)
+    // force the >gate path (as if billions of tombstones): WAND now runs
+    // via Searcher.wandTopKCogroup — tombstones co-partitioned on the
+    // docId-range bucket, nothing collected or broadcast
     val big = new graft.index.MultiSearcher(spark, inc.generations(),
-      inc.readTombstones()) { override val TombstoneShipMax = 0L }
+      inc.readTombstones(), TombstoneShipMax = 0L)
     val normal = inc.searcher()
     assert(big.docs.filter(col("repo") === repo).count() == 0)
-    val got = big.search(big.queryTerms("if"), 50, conjunctive = true,
-      useWand = true) // silently demoted to exhaustive
-      .collect().map(h => (h.docId, h.score)).toSet
-    val want = normal.search(normal.queryTerms("if"), 50, conjunctive = true,
-      useWand = false).collect().map(h => (h.docId, h.score)).toSet
-    assert(got == want)
+    for ((q, conj) <- Seq(("if", true), ("parse", true),
+        ("return index", true), ("if return import", false))) {
+      def sorted(hits: Array[graft.engine.Hit]) =
+        hits.map(h => (h.docId, h.score)).toSeq.sortBy { case (d, s) => (-s, d) }
+      val got = sorted(big.search(big.queryTerms(q), 50, conjunctive = conj,
+        useWand = true).collect())
+      val want = sorted(normal.search(normal.queryTerms(q), 50,
+        conjunctive = conj, useWand = false).collect())
+      assert(got == want, s"query '$q' conj=$conj")
+      // the deleted repo never surfaces through the cogroup WAND path
+      assert(big.materialize(big.search(big.queryTerms(q), 1000,
+        conjunctive = conj, useWand = true))
+        .filter(col("repo") === repo).count() == 0)
+    }
   }
 
   test("structured streaming ingest drains arriving corpus files") {
