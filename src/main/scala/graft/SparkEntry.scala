@@ -262,6 +262,7 @@ object SparkEntry {
         .executeRepo("repo:rc1 or repo:/src1[0-9]/", AllK)
         .select("name")),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(emb(s, d), 0L, 10)),
+    "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d), 0L, 10)),
     "e_media_features" -> ((s, _) =>
       Multimodal.featureStats(Multimodal.synthMedia(s, 300))),
     "e_frame_sample" -> ((s, _) =>
@@ -582,6 +583,25 @@ object SparkEntry {
           |SELECT e.vec_id, round(list_cosine_similarity(e.emb, q.qe), 4) AS cos
           |FROM e JOIN b USING (vec_id) CROSS JOIN q
           |WHERE xor(b.bucket, q.qb) IN (0,1,2,4,8,16,32) AND e.vec_id <> 0
+          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+      "e_ivf_topk" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+          |dims AS (SELECT vec_id, d,
+          |           CAST(floor(emb[CAST(d AS INT)+1]*10000) AS BIGINT) AS x
+          |         FROM e CROSS JOIN (SELECT unnest(range(0,64)) AS d)),
+          |cdims AS (SELECT vec_id AS cid, d, x AS cx FROM dims WHERE vec_id < 16),
+          |dots AS (SELECT dims.vec_id, cid, sum(x*cx) AS qdot
+          |         FROM dims JOIN cdims USING (d) GROUP BY dims.vec_id, cid),
+          |cells AS (SELECT vec_id, cid AS cell FROM (
+          |    SELECT vec_id, cid, row_number() OVER (
+          |      PARTITION BY vec_id ORDER BY qdot DESC, cid) AS rn FROM dots)
+          |  WHERE rn = 1),
+          |probes AS (SELECT cid FROM dots WHERE vec_id = 0
+          |           ORDER BY qdot DESC, cid LIMIT 4)
+          |SELECT e.vec_id, round(list_cosine_similarity(e.emb, q.qe), 4) AS cos
+          |FROM e JOIN cells USING (vec_id) CROSS JOIN q
+          |WHERE cells.cell IN (SELECT cid FROM probes) AND e.vec_id <> 0
           |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
       "e_media_features" ->
         """WITH m AS (SELECT i AS media_id,

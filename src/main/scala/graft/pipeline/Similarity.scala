@@ -94,6 +94,65 @@ object Similarity {
     * work stays a (numPlanes+1)/2^numPlanes fraction of brute force at any
     * corpus size, and the probe set is a pushed-down bucket-id IN filter.
     */
+  /** floor(x·10⁴)-quantized components: exact-integer arithmetic makes
+    * every derived decision (cell assignment, probe choice) bit-identical
+    * on any engine and any aggregation order — same rationale as
+    * lshBuckets.
+    */
+  private def qarr(a: Column): Column =
+    transform(a, x => floor(x.cast("double") * 10000).cast("long"))
+
+  /** Exact integer dot product of two quantized embeddings. */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(qarr(a), qarr(b), _ * _), lit(0L), _ + _)
+
+  /** IVF cell assignment (the coarse quantizer): centroids are the first
+    * `nlist` vectors (a deterministic, training-free quantizer — the IVF
+    * STRUCTURE is the scale path being built: assignment is one scan ×
+    * broadcast(nlist), probing reads nprobe/nlist of the corpus; swapping
+    * in k-means centroids changes recall, not the plan shape). cell =
+    * argmax centroid dot product, ties to the smaller centroid id, via a
+    * map-side-combinable max(struct) — no window shuffle.
+    */
+  def ivfCells(embeddings: DataFrame, nlist: Int = 16): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cent"))
+    embeddings.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        intDot(col("embedding"), col("cent")).as("qdot"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("qdot").as("q"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).cast("long").as("cell"))
+  }
+
+  /** IVF ANN top-k: probe the `nprobe` cells whose centroids best match
+    * the query, brute-force cosine only within them — candidate work is a
+    * nprobe/nlist fraction of the corpus at any scale, and the final
+    * cosine/top-k is the same codegen'd scan as cosineTopK over the
+    * reduced set.
+    */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cells = ivfCells(embeddings, nlist)
+    val cents = embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cent"))
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    val probes = cents.crossJoin(broadcast(q))
+      .select(col("cid"), intDot(col("cent"), col("q_embedding")).as("qdot"))
+      .orderBy(col("qdot").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid").as("cell"))
+    embeddings.join(cells, "vec_id")
+      .join(broadcast(probes), "cell")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_embedding")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   def lshTopK(embeddings: DataFrame, queryId: Long, k: Int,
               numPlanes: Int = 6): DataFrame = {
     val buckets = lshBuckets(embeddings, numPlanes)
