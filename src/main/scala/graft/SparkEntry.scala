@@ -89,6 +89,8 @@ object SparkEntry {
     "q_minhash_bands" -> ((s, d) => Dedup.minhashBands(docs(s, d))),
     "q_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "q_minhash_pairs" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
+    "q_dedup_clusters" -> ((s, d) => // connected components over LSH pairs
+      Dedup.duplicateClusters(Dedup.minhashCandidates(docs(s, d)))),
     "q_jaccard_pairs" -> ((s, d) => Dedup.jaccardConsecutive(docs(s, d))),
     // ---- text analysis
     "q_langid" -> ((s, d) => TextOps.langIdScore(docs(s, d))),
@@ -426,6 +428,22 @@ object SparkEntry {
            |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
            |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
            |  AND a.doc_id < b.doc_id""".stripMargin,
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE wh AS (SELECT DISTINCT doc_id, ${charHash("w")} AS wh FROM ($words)),
+           |mh AS (SELECT doc_id, seed, min(((2*seed+1)*wh + (1000003*seed+12345)) % 1000000007) AS minhash
+           |       FROM wh CROSS JOIN (SELECT unnest(range(0,12)) AS seed) GROUP BY doc_id, seed),
+           |bands AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+           |            string_agg(minhash, ',' ORDER BY seed) AS sig
+           |          FROM mh GROUP BY doc_id, seed // 3),
+           |pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+           |            AND a.doc_id < b.doc_id),
+           |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT a, a FROM edges
+           |  UNION
+           |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+           |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
       "q_event_sessions" ->
         """WITH e AS (SELECT user_id, event_id, ts,
           |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),

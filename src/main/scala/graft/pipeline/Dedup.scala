@@ -63,6 +63,48 @@ object Dedup {
       .select("doc_id_a", "doc_id_b").distinct()
   }
 
+  /** Duplicate CLUSTERS from candidate pairs: connected components by
+    * iterative min-label propagation — cluster_id = min doc_id of the
+    * component. The piece that turns pairwise LSH candidates into the
+    * "keep one doc per duplicate group" decision a dedup pipeline needs.
+    *
+    * Scale shape: each iteration is ONE shuffle (edge join + min agg);
+    * iterations = component diameter, which for near-dup clusters is tiny
+    * (dup groups are dense — typically ≤ 3 hops). `localCheckpoint`
+    * truncates the growing plan each round so 50 iterations cannot build
+    * a 50-deep lineage. Deterministic: min labels are order-free.
+    * Singleton docs (no candidate pair) are not emitted — they are their
+    * own cluster by definition.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .union(pairs
+        .select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster_id")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min("cluster_id").as("nbr"))
+      val next = labels
+        .withColumnRenamed("cluster_id", "old")
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("cluster_id"))
+        .localCheckpoint()
+      changed = next.filter(col("cluster_id") =!= col("old")).count()
+      labels = next.select("doc_id", "cluster_id")
+      iter += 1
+    }
+    labels
+  }
+
   /** 16-bit SimHash over word frequencies: bit b of charHash(w) votes
     * +tf/−tf; simhash bit b = 1 iff the vote sum is positive.
     */
