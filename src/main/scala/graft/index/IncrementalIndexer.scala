@@ -134,14 +134,14 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
       if (stale.limit(1).count() > 0) appendTombstones(stale)
     }
     val offset = maxDocId()
-    // deltas skip the repo-name sub-index: repo search reflects the base
-    // generation until compaction rebuilds it (documented freshness lag —
-    // the reference likewise rewrites its Repo index out of band of file
-    // deltas, indexes/repo.rs)
+    // deltas skip the per-generation repo sub-index; the live-set repo
+    // index is refreshed out of band below (the reference likewise
+    // rewrites its Repo index out of band of file deltas, indexes/repo.rs)
     val builder = new IndexBuilder(spark, deltaPath(gen), bucketSize,
       docIdOffset = offset, includeRepoIndex = false)
     builder.build(freshDf)
     rmDir(staging)
+    refreshRepoIndex()
     freshCount
   }
 
@@ -161,6 +161,7 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     liveDocs().foreach { live =>
       appendTombstones(live.filter($"repo" === repo).select($"docId"))
     }
+    refreshRepoIndex()
   }
 
   /** Write existing ∪ new as the next tombstone version, then clean up
@@ -176,11 +177,54 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     versions.foreach(v => rmDir(tombstoneDir(v)))
   }
 
+  /** Repo-name sub-index versions: `repoIndex-N` dirs written by
+    * refreshRepoIndex, complete when dict/_SUCCESS exists — same
+    * versioned-dir commit pattern as the tombstones.
+    */
+  private def repoIndexVersions(): Seq[Int] = {
+    val re = "^repoIndex-(\\d+)$".r
+    val fs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+    fs.iterator.flatMap(f => f.getName match {
+      case re(v) if new java.io.File(f, "dict/_SUCCESS").exists() =>
+        Some(v.toInt)
+      case _ => None
+    }).toSeq.sorted
+  }
+
+  /** Latest live repo-name sub-index: the newest refresh version, else the
+    * base generation's own sub-index (built by buildBase).
+    */
+  def repoIndexPath: Option[String] =
+    repoIndexVersions().lastOption.map(v => s"$root/repoIndex-$v")
+      .orElse(Some(s"$basePath/repoIndex").filter(p =>
+        new java.io.File(s"$p/dict/_SUCCESS").exists()))
+
+  /** Rebuild the repo-name sub-index from the LIVE doc set — called after
+    * every ingest / delete so `repo:` search tracks new and deleted repos
+    * without waiting for compaction. O(#repos) work: one column-pruned
+    * scan of the generations' docs for the distinct names, then the tiny
+    * nested build. Versioned-dir commit; older versions cleaned after the
+    * new one is complete (crash-safe, never a missing-index window).
+    */
+  def refreshRepoIndex(): Unit = {
+    val live = liveDocs().getOrElse(return)
+    val v = repoIndexVersions().lastOption.getOrElse(0) + 1
+    val names = live.select($"repo").distinct()
+      .select($"repo", lit("").as("path"), lit("").as("commit"),
+        lit("").as("lang"), $"repo".as("content"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      new IndexBuilder(spark, s"$root/repoIndex-$v", bucketSize,
+        includeRepoIndex = false).build(names)
+    finally names.unpersist()
+    repoIndexVersions().filter(_ < v).foreach(o => rmDir(s"$root/repoIndex-$o"))
+  }
+
   /** Searcher over all live generations with tombstone filtering and
     * globally aggregated stats.
     */
   def searcher(): MultiSearcher = new MultiSearcher(spark, generations(),
-    readTombstones())
+    readTombstones(), repoIndexPath = repoIndexPath)
 
   /** Compaction — the segment-merge analog (reference indexes.rs:205-210
     * commit + merge): rebuild a single base generation from the LIVE rows

@@ -37,11 +37,22 @@ class MultiSearcher(spark0: SparkSession, generations: Seq[String],
                       * A constructor param so tests can force the cogroup
                       * path on small corpora.
                       */
-                    val TombstoneShipMax: Long = 2000000L)
+                    val TombstoneShipMax: Long = 2000000L,
+                    /** Live repo-name sub-index location (IncrementalIndexer
+                      * refreshes it out of band of the generations).
+                      */
+                    repoIndexPath: Option[String] = None)
     extends Searcher(spark0, generations.head) {
   import spark0.implicits._
 
   require(generations.nonEmpty, "no live index generations")
+
+  override lazy val repoIndex: Option[Searcher] =
+    repoIndexPath.map(new Searcher(spark0, _)).orElse(
+      if (new java.io.File(
+          s"${generations.head}/repoIndex/dict/_SUCCESS").exists())
+        Some(new Searcher(spark0, s"${generations.head}/repoIndex"))
+      else None)
 
   @transient private lazy val shippedTombstones: Option[Array[Long]] = {
     val c = tombstones.limit((TombstoneShipMax + 1).toInt).count()

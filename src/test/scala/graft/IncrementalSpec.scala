@@ -213,6 +213,25 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("repo-name search tracks ingests and deletes (live repo sub-index)") {
+    val root = TestSpark.tempDir("inc-repoidx")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    def repoNames(): Set[String] =
+      new graft.engine.QueryExecutor(inc.searcher())
+        .executeRepo("repo:org", 1000).collect().map(_.getString(1)).toSet
+    val aRepos = corpusA.select("repo").distinct().collect()
+      .map(_.getString(0)).toSet
+    val bRepos = corpusB.select("repo").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(repoNames() == aRepos) // base generation's own sub-index
+    inc.ingest(corpusB) // refresh picks up the new repos immediately
+    assert(repoNames() == aRepos ++ bRepos)
+    val victim = aRepos.min
+    inc.deleteRepo(victim) // and drops deleted ones without compaction
+    assert(repoNames() == (aRepos - victim) ++ bRepos)
+  }
+
   test("structured streaming ingest drains arriving corpus files") {
     val root = TestSpark.tempDir("inc-stream")
     val inDir = TestSpark.tempDir("inc-stream-in")
