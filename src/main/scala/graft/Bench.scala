@@ -90,6 +90,10 @@ object Bench {
       searcher.searchRegex("merge (join|sort)", 10).collect())
     results += "regex_search" -> tRegex
 
+    val (_, tRepo) = timed(new graft.engine.QueryExecutor(searcher)
+      .executeRepo("repo:rc1", 10).collect())
+    results += "repo_search" -> tRepo
+
     // --- pipeline ops
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -99,6 +103,11 @@ object Bench {
     results += "simhash" -> tSim
     val (_, tCos) = timed(Similarity.cosineTopK(embs, 0L, 20).collect())
     results += "cosine_topk" -> tCos
+    val (_, tIvf) = timed(Similarity.ivfTopK(embs, 0L, 10).collect())
+    results += "ivf_topk" -> tIvf
+    val (_, tCc) = timed(
+      Dedup.duplicateClusters(Dedup.minhashStarEdges(docs)).count())
+    results += "dedup_clusters" -> tCc
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")

@@ -89,8 +89,10 @@ object SparkEntry {
     "q_minhash_bands" -> ((s, d) => Dedup.minhashBands(docs(s, d))),
     "q_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "q_minhash_pairs" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
-    "q_dedup_clusters" -> ((s, d) => // connected components over LSH pairs
-      Dedup.duplicateClusters(Dedup.minhashCandidates(docs(s, d)))),
+    "q_dedup_clusters" -> ((s, d) => // connected components over LSH
+      // buckets via star-reduced edges (same components as the full
+      // clique pairs — the oracle computes them from the cliques)
+      Dedup.duplicateClusters(Dedup.minhashStarEdges(docs(s, d)))),
     "q_jaccard_pairs" -> ((s, d) => Dedup.jaccardConsecutive(docs(s, d))),
     // ---- text analysis
     "q_langid" -> ((s, d) => TextOps.langIdScore(docs(s, d))),

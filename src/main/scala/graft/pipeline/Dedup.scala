@@ -63,6 +63,22 @@ object Dedup {
       .select("doc_id_a", "doc_id_b").distinct()
   }
 
+  /** Star-reduced candidate edges: within an LSH bucket every member
+    * connects to the bucket MINIMUM doc_id only. A bucket is a clique in
+    * the candidate graph, and a star has the same connected components as
+    * its clique — so cluster results are identical to minhashCandidates
+    * while edge count drops from Σ m²/2 to Σ m (the clique materialization
+    * is exactly what explodes on skewed buckets at 100 TB).
+    */
+  def minhashStarEdges(documents: DataFrame): DataFrame = {
+    val b = minhashBands(documents)
+    val m = b.groupBy("band", "sig").agg(min("doc_id").as("doc_id_a"))
+    b.join(m, Seq("band", "sig"))
+      .filter(col("doc_id") =!= col("doc_id_a"))
+      .select(col("doc_id_a"), col("doc_id").as("doc_id_b"))
+      .distinct()
+  }
+
   /** Duplicate CLUSTERS from candidate pairs: connected components by
     * iterative min-label propagation — cluster_id = min doc_id of the
     * component. The piece that turns pairwise LSH candidates into the
@@ -88,15 +104,24 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
+      // 1-hop: min over self and neighbors
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("src"), col("cluster_id")), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min("cluster_id").as("nbr"))
-      val next = labels
+      val hop = labels
         .withColumnRenamed("cluster_id", "old")
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("old"),
           least(col("old"), coalesce(col("nbr"), col("old"))).as("cluster_id"))
+      // pointer jump (path halving): follow the label's own label —
+      // turns O(diameter) convergence into O(log diameter)
+      val next = hop
+        .join(hop.select(col("doc_id").as("cluster_id"),
+          col("cluster_id").as("jump")), Seq("cluster_id"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("cluster_id"), coalesce(col("jump"), col("cluster_id")))
+            .as("cluster_id"))
         .localCheckpoint()
       changed = next.filter(col("cluster_id") =!= col("old")).count()
       labels = next.select("doc_id", "cluster_id")
