@@ -143,6 +143,11 @@ object SparkEntry {
         .agg(count("*").as("n_events"),
           min(unix_timestamp(col("ts"))).as("start_s"))
     }),
+    "q_event_windows" -> ((s, d) => // the Structured Streaming operator's
+      // batch face (withWatermark is a no-op on batch; StreamingSpec
+      // proves stream == batch on the same plan)
+      graft.streaming.StreamingOps.windowedEventCounts(
+        s.read.parquet(s"$d/events.parquet"))),
     "q_window_events" -> ((s, d) =>
       s.read.parquet(s"$d/events.parquet")
         .groupBy(col("event_type"),
@@ -504,6 +509,11 @@ object SparkEntry {
           |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY o_orderpriority""".stripMargin,
+      "q_event_windows" ->
+        """SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+          |  event_type, count(*) AS n,
+          |  round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+          |FROM events GROUP BY 1, 2""".stripMargin,
       "q_window_events" ->
         """SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket,
           |  count(*) AS n, round(min(value), 4) AS min_v, round(max(value), 4) AS max_v

@@ -53,9 +53,27 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
           s => s.getField("minhash").cast("string"))).as("sig"))
 
-  /** Candidate near-dup pairs from shared LSH buckets (doc_id_a < doc_id_b). */
-  def minhashCandidates(documents: DataFrame): DataFrame = {
-    val b = minhashBands(documents)
+  /** Candidate near-dup pairs from shared LSH buckets (doc_id_a < doc_id_b).
+    *
+    * maxBucket (None = unbounded, the oracle-mirrored default) caps the
+    * bucket size that is allowed to emit pairs: a bucket of m docs emits
+    * m²/2 rows, so one degenerate signature (empty docs, boilerplate) can
+    * dwarf the rest of the job at corpus scale. Skipped buckets are the
+    * standard production trade — a >cap bucket's signature carries no
+    * discriminating information (its members match on a near-universal
+    * shingle set) — and clustering should use minhashStarEdges anyway,
+    * which never materializes cliques.
+    */
+  def minhashCandidates(documents: DataFrame,
+                        maxBucket: Option[Int] = None): DataFrame = {
+    val b0 = minhashBands(documents)
+    val b = maxBucket match {
+      case None => b0
+      case Some(cap) =>
+        val sizes = b0.groupBy("band", "sig").agg(count("*").as("m"))
+        b0.join(sizes.filter(col("m") <= cap).select("band", "sig"),
+          Seq("band", "sig"), "left_semi")
+    }
     val l = b.select(col("band"), col("sig"), col("doc_id").as("doc_id_a"))
     val r = b.select(col("band"), col("sig"), col("doc_id").as("doc_id_b"))
     l.join(r, Seq("band", "sig"))
