@@ -35,4 +35,19 @@ class EntrySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotChain == (1L to 9L).map(_ -> 1L).toMap)
   }
+
+  test("minhashCandidates giant-bucket cap drops degenerate buckets only") {
+    import spark.implicits._
+    // 6 identical docs -> one clique bucket per band; 2 distinct docs
+    val docs = ((1 to 6).map(i => (i.toLong, "the same words exactly")) ++
+      Seq((7L, "completely different payload seven"),
+        (8L, "another unrelated text eight")))
+      .toDF("doc_id", "text")
+    val uncapped = graft.pipeline.Dedup.minhashCandidates(docs).count()
+    assert(uncapped == 15) // C(6,2) identical-doc pairs
+    val capped = graft.pipeline.Dedup.minhashCandidates(docs, maxBucket = Some(3))
+    assert(capped.count() == 0) // the size-6 bucket is skipped
+    val loose = graft.pipeline.Dedup.minhashCandidates(docs, maxBucket = Some(6))
+    assert(loose.count() == 15) // cap above the bucket size changes nothing
+  }
 }
