@@ -26,10 +26,12 @@ import graft.tokenize.CodeTokenizer
   *     verify on the stored path (the reference's bare trigram
   *     intersection admits false positives; the verify keeps our result
   *     exact AND a superset-free subset of the old filter semantics —
-  *     same doc set, now relevance-ranked). A <3-char literal has no
-  *     trigram and degrades to the unscored filter; `path:/re/` stays an
-  *     unscored regex filter (the reference's regex path queries are
-  *     likewise unboosted, compiler.rs:141-144).
+  *     same doc set, now relevance-ranked — including not-indexed stubs,
+  *     whose path trigrams are indexed like the reference's). A <3-char
+  *     literal has no indexable trigram and degrades to the unscored
+  *     filter; `path:/re/` stays an unscored regex filter (the
+  *     reference's regex path queries are likewise unboosted,
+  *     compiler.rs:141-144).
   *   - branch score = f32 targetScore + f32 10·pathScore, added in that
   *     fixed order (f32 determinism).
   *   - content target, plain: conjunctive BM25 over code tokens;
@@ -100,8 +102,10 @@ class QueryExecutor(searcher: Searcher) {
     * path (plain literal with at least one trigram).
     */
   private def pathIsScored(b: FlatQuery): Boolean = b.path match {
-    case Some(l) if !l.isRegex =>
-      CodeTokenizer.distinctTrigrams(l.value.toLowerCase).nonEmpty
+    // length check, NOT distinctTrigrams.nonEmpty: a 1–2-char literal
+    // yields a short gram that is never indexed (the index stores only
+    // 3-char windows), which would make `path:f1` silently match nothing
+    case Some(l) if !l.isRegex => l.value.length >= 3
     case _ => false
   }
 
@@ -302,7 +306,9 @@ class QueryExecutor(searcher: Searcher) {
           .select(lit("repo").as("kind"), $"repoId".as("id"), $"name",
             lit(null: String).as("path"), $"score")
       case Some(ReaderKind.Open) =>
-        executeOpen(input).limit(k)
+        // deterministic listing page: distinct() has no order, so the
+        // limit must follow an explicit sort
+        executeOpen(input).orderBy($"repo", $"entry").limit(k)
           .select(when($"is_dir", lit("dir")).otherwise(lit("file-entry"))
             .as("kind"), lit(0L).as("id"), $"repo".as("name"),
             $"entry".as("path"), lit(0f).as("score"))
@@ -341,6 +347,10 @@ class QueryExecutor(searcher: Searcher) {
   def executeOpen(input: String): DataFrame = {
     val b = QueryParser.parse(input).head
     require(b.open.contains(true), s"not an open: query: $input")
+    // OpenReader accepts only PLAIN repo/path literals (reader.rs:295-300);
+    // silently treating /re/ as a substring would list the wrong thing
+    require(b.repo.forall(!_.isRegex) && b.path.forall(!_.isRegex),
+      s"open: rejects regex repo/path literals: $input")
     listDir(b.repo.map(_.value), b.path.map(_.value).getOrElse(""))
   }
 }

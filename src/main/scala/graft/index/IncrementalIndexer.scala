@@ -72,19 +72,31 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     */
   private def tombstoneDir(v: Int) = s"$root/tombstones-$v"
 
-  private def tombstoneVersions(): Seq[Int] = {
-    val re = "^tombstones-(\\d+)$".r
+  /** Complete versions of a versioned-dir family `<prefix>-N` under the
+    * root, by exact basename match + completion-marker check — shared by
+    * tombstones and the repo sub-index refresh.
+    */
+  private def versionedDirs(prefix: String, marker: String): Seq[Int] = {
+    val re = ("^" + java.util.regex.Pattern.quote(prefix) + "-(\\d+)$").r
     val fs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
     fs.iterator.flatMap(f => f.getName match {
-      case re(v) if new java.io.File(f, "_SUCCESS").exists() => Some(v.toInt)
+      case re(v) if new java.io.File(f, marker).exists() => Some(v.toInt)
       case _ => None
     }).toSeq.sorted
   }
 
+  private def tombstoneVersions(): Seq[Int] =
+    versionedDirs("tombstones", "_SUCCESS")
+
   def readTombstones(): DataFrame =
     tombstoneVersions().lastOption match {
       case Some(v) => spark.read.parquet(tombstoneDir(v))
-      case None => Seq.empty[Long].toDF("docId")
+      case None =>
+        // pre-versioning layout wrote a single `tombstones/` dir: honor it
+        // rather than silently resurrecting its deletes on an old root
+        if (new java.io.File(s"$root/tombstones/_SUCCESS").exists())
+          spark.read.parquet(s"$root/tombstones")
+        else Seq.empty[Long].toDF("docId")
     }
 
   private def maxDocId(): Long = {
@@ -181,15 +193,8 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     * refreshRepoIndex, complete when dict/_SUCCESS exists — same
     * versioned-dir commit pattern as the tombstones.
     */
-  private def repoIndexVersions(): Seq[Int] = {
-    val re = "^repoIndex-(\\d+)$".r
-    val fs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-    fs.iterator.flatMap(f => f.getName match {
-      case re(v) if new java.io.File(f, "dict/_SUCCESS").exists() =>
-        Some(v.toInt)
-      case _ => None
-    }).toSeq.sorted
-  }
+  private def repoIndexVersions(): Seq[Int] =
+    versionedDirs("repoIndex", "dict/_SUCCESS")
 
   /** Latest live repo-name sub-index: the newest refresh version, else the
     * base generation's own sub-index (built by buildBase).
@@ -209,14 +214,13 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
   def refreshRepoIndex(): Unit = {
     val live = liveDocs().getOrElse(return)
     val v = repoIndexVersions().lastOption.getOrElse(0) + 1
-    val names = live.select($"repo").distinct()
-      .select($"repo", lit("").as("path"), lit("").as("commit"),
-        lit("").as("lang"), $"repo".as("content"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try
-      new IndexBuilder(spark, s"$root/repoIndex-$v", bucketSize,
-        includeRepoIndex = false).build(names)
-    finally names.unpersist()
+    val dst = s"$root/repoIndex-$v"
+    // a crashed partial build of this version could otherwise RESUME: its
+    // committed stages (written under an older live set) would be kept by
+    // the _SUCCESS gates and a stale name set would go live
+    rmDir(dst)
+    IndexBuilder.buildRepoIndexAt(spark, live.select($"repo"), dst,
+      bucketSize)
     repoIndexVersions().filter(_ < v).foreach(o => rmDir(s"$root/repoIndex-$o"))
   }
 

@@ -254,7 +254,22 @@ class IndexBuilder(
         out.iterator
       }
     }
-    val gramRuns = gramTok
+    // Not-indexed stubs (D7) still get "p:" PATH trigrams: the reference
+    // indexes the relative_path of oversize files too, so `path:` queries
+    // and fuzzy path autocomplete must see them even though their content
+    // is never scored (no tokens, no "g:" grams, excluded from stats).
+    val stubGrams: Dataset[GramBucket] = spark.read.parquet(docsPath)
+      .filter(!$"indexed")
+      .select("docId", "path", "content", "normId")
+      .as[SlimDoc]
+      .mapPartitions { it =>
+        it.flatMap { d =>
+          val bucket = ((d.docId - 1) / bs).toInt
+          CodeTokenizer.distinctTrigramCodes(d.path).iterator
+            .map(c => GramBucket(c | PathNsBit, d.docId, d.normId, bucket))
+        }
+      }
+    val gramRuns = gramTok.union(stubGrams)
       .repartition(P, $"code", $"bucket")
       .sortWithinPartitions($"code", $"bucket", $"docId")
       .mapPartitions { it =>
@@ -312,19 +327,9 @@ class IndexBuilder(
     */
   def buildRepoIndex(): Unit = {
     if (done(s"$indexRoot/repoIndex/dict")) return
-    // persist the distinct names: the nested stages otherwise each re-scan
-    // the FULL parent docs table (data-proportional at 10^12 files) just to
-    // re-derive this O(#repos) frame
-    val names = spark.read.parquet(docsPath)
-      .select($"repo").distinct()
-      .select($"repo", lit("").as("path"), lit("").as("commit"),
-        lit("").as("lang"), $"repo".as("content"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try
-      new IndexBuilder(spark, s"$indexRoot/repoIndex", bucketSize,
-        includeTrigrams, numPartitions, docIdOffset = 0L,
-        includeRepoIndex = false).build(names)
-    finally names.unpersist()
+    IndexBuilder.buildRepoIndexAt(spark,
+      spark.read.parquet(docsPath).select($"repo"),
+      s"$indexRoot/repoIndex", bucketSize, includeTrigrams, numPartitions)
   }
 
   /** Layout-version gate, run before any stage resumes: a FORMAT mismatch
@@ -366,12 +371,35 @@ object IndexBuilder {
   /** Index layout version — bump on any schema/codec/tokenizer-spec change
     * so cached index directories cannot be resumed across layouts.
     */
-  val FormatVersion = "graft-index-v6"
+  val FormatVersion = "graft-index-v7"
 
   /** Namespace bit for packed trigram codes: set = "p:" (path), clear =
     * "g:" (content). Codes use 48 low bits (3 UTF-16 chars).
     */
   val PathNsBit: Long = 1L << 62
+
+  /** Build a repo-name sub-index at `rootDir` from a one-column frame of
+    * repo names (shared by the eager in-build path and the incremental
+    * indexer's out-of-band refresh). The distinct names are persisted —
+    * the nested stages would otherwise each re-derive them by re-scanning
+    * the source (data-proportional at 10^12 files) for this O(#repos)
+    * frame.
+    */
+  def buildRepoIndexAt(spark: SparkSession, repoNames: DataFrame,
+                       rootDir: String, bucketSize: Long,
+                       includeTrigrams: Boolean = true,
+                       numPartitions: Int = 0): Unit = {
+    import spark.implicits._
+    val names = repoNames.select($"repo").distinct()
+      .select($"repo", lit("").as("path"), lit("").as("commit"),
+        lit("").as("lang"), $"repo".as("content"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      new IndexBuilder(spark, rootDir, bucketSize, includeTrigrams,
+        numPartitions, docIdOffset = 0L, includeRepoIndex = false)
+        .build(names)
+    finally names.unpersist()
+  }
 
   /** Per-doc field derivation (stage "docs" row transform). Oversize rows
     * (reference limits: >600 KB or >20 000 lines, repo/iterator.rs:21-23)

@@ -44,18 +44,29 @@ class ProgressReporter(spark: SparkSession,
     }
   }
 
+  private val countedStages = mutable.Set.empty[Int]
+
   override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
     synchronized {
       stageGroup.get(s.stageInfo.stageId).foreach { st =>
-        groupTotals(st) = groupTotals.getOrElse(st, 0) + s.stageInfo.numTasks
+        // count each stage's tasks once — a fetch-failure RESUBMIT of the
+        // same stageId must not inflate the total
+        if (countedStages.add(s.stageInfo.stageId))
+          groupTotals(st) = groupTotals.getOrElse(st, 0) + s.stageInfo.numTasks
         onEvent(ProgressEvent(st, groupDone.getOrElse(st, 0), groupTotals(st)))
       }
     }
 
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+    // failed/killed attempts also fire onTaskEnd — only successful task
+    // completions are progress (a retry's success is counted when it lands)
+    if (t.taskInfo == null || !t.taskInfo.successful) return
     stageGroup.get(t.stageId).foreach { st =>
-      groupDone(st) = groupDone.getOrElse(st, 0) + 1
-      onEvent(ProgressEvent(st, groupDone(st), groupTotals.getOrElse(st, 0)))
+      val total = groupTotals.getOrElse(st, 0)
+      // speculative duplicates can over-count: clamp at the known total
+      groupDone(st) = math.min(groupDone.getOrElse(st, 0) + 1,
+        if (total > 0) total else Int.MaxValue)
+      onEvent(ProgressEvent(st, groupDone(st), total))
     }
   }
 

@@ -43,8 +43,11 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)],
       .zipWithIndex.map { case ((r, p, c, l, content), i) =>
         val br = branches.getOrElse((r, p), "")
         if (!graft.index.IndexBuilder.isIndexable(content))
+          // stubs keep their PATH trigrams (mirror of the stubGrams path
+          // in IndexBuilder.buildPostingsBody): path search sees them
           ODoc(i + 1L, r, p, c, l, "", Map.empty, Map.empty, Set.empty,
-            Set.empty, 0, 0.toByte, indexed = false, branch = br)
+            CodeTokenizer.distinctTrigrams(p).toSet, 0, 0.toByte,
+            indexed = false, branch = br)
         else {
           val (tf, docLen) = CodeTokenizer.termFreqs(content)
           val g = CodeTokenizer.distinctTrigrams(content).toSet
@@ -174,9 +177,9 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)],
     import QueryParser.{ContentTarget, FlatQuery, QLit, SymbolTarget}
     val branches = QueryParser.parse(input)
     def pathScoredLit(b: FlatQuery): Option[QLit] = b.path match {
-      case Some(l) if !l.isRegex &&
-          CodeTokenizer.distinctTrigrams(l.value.toLowerCase).nonEmpty =>
-        Some(l)
+      // mirror of QueryExecutor.pathIsScored: <3 chars has no indexable
+      // trigram and degrades to the unscored substring filter
+      case Some(l) if !l.isRegex && l.value.length >= 3 => Some(l)
       case _ => None
     }
     def metaPred(b: FlatQuery, includePath: Boolean)(d: ODoc): Boolean = {

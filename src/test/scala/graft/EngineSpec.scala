@@ -257,6 +257,15 @@ class EngineSpec extends AnyFunSuite {
     assert(o.n == 10)
     assert(o.docs.count(!_.indexed) == 1)
     assert(o.searchLiteral("bigtokenzz", 10).isEmpty)
+    // but its PATH stays searchable: the reference indexes stub paths too
+    // — scored path field and fuzzy autocomplete both see huge.bin
+    val ex = new graft.engine.QueryExecutor(s)
+    val pathHits = ex.execute("path:huge", 10).collect()
+    assert(pathHits.length == 1)
+    val want = o.executeQuery("path:huge", 10)
+    assert(pathHits.map(h => (h.docId, h.score)).toSeq == want)
+    assert(graft.engine.FuzzyPath.search(s, "hugebin", 10)
+      .exists(_._2 == "huge.bin"))
   }
 
   test("hot terms are salted: 'if' spans multiple buckets") {

@@ -197,6 +197,18 @@ class QueryExecutorSpec extends AnyFunSuite {
     assert(exec.execute("branch:dev if", 50).count() == 0)
   }
 
+  test("short path literal degrades to the unscored filter, not empty results") {
+    // regression: distinctTrigrams("f1") returns the 2-char gram "f1",
+    // which is never indexed — the old nonEmpty check sent `path:f1` down
+    // the scored route and it matched NOTHING on both engine and oracle
+    val got = exec.execute("path:f1", 50).collect()
+    assert(got.nonEmpty, "short path literal must fall back to the filter")
+    assert(got.forall(_.score == 0f))
+    val want = oracle.executeQuery("path:f1", 50)
+    assert(got.map(h => (h.docId, h.score)).toSeq
+      .sortBy { case (d, s) => (-s, d) } == want)
+  }
+
   test("reader dispatch matrix (reference query_matches, reader.rs + execute.rs:373-387)") {
     import graft.engine.ReaderKind._
     val cases = Seq(
