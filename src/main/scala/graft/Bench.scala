@@ -27,11 +27,7 @@ object Bench {
   }
 
   def freshDir(path: String): String = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(path))
+    graft.util.FsUtil.rmTree(path)
     path
   }
 

@@ -52,7 +52,7 @@ object ScalingBench {
         includeTrigrams = !sys.env.contains("GRAFT_NO_TRIGRAMS"),
         numPartitions = 128)
       val (_, tDocs) = Bench.timed(b.buildDocs(corpus))
-      val (_, tPost) = Bench.timed(b.buildPostings(corpus))
+      val (_, tPost) = Bench.timed(b.buildPostings())
       val (_, tDict) = Bench.timed(b.buildDict())
       val t = tDocs + tPost + tDict
       System.err.println(

@@ -568,9 +568,11 @@ object SparkEntry {
       "e_symbol_search" ->
         """SELECT source AS repo, 'code/' || doc_id AS path
           |FROM documents WHERE split_part(text, ' ', 1) = 'merge'""".stripMargin,
-      "e_open_listing" ->
+      "e_open_listing" -> // substring repo match, mirroring listDir's
+        // lower(repo).contains (latent mismatch if sources ever grow a
+        // superstring of src2, e.g. src20)
         """SELECT source AS repo, 'doc/' || doc_id AS entry,
-          |false AS is_dir FROM documents WHERE source = 'src2'""".stripMargin,
+          |false AS is_dir FROM documents WHERE contains(lower(source), 'src2')""".stripMargin,
       "e_fuzzy_path" ->
         s"""WITH $ids
            |SELECT "docId", path, repo,

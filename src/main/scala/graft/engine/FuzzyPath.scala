@@ -56,17 +56,25 @@ object FuzzyPath {
     */
   def search(searcher: Searcher, query: String, k: Int): Seq[(Long, String, String, Int)] = {
     import searcher.spark.implicits._
-    val grams = CodeTokenizer.distinctTrigrams(query)
-      .map("p:" + _).toSeq
-    if (grams.isEmpty) return Nil
-    val candidates = searcher.postings
-      .filter($"term".isin(grams: _*))
-      .flatMap(run => graft.index.PostingCodec.decodeRun(run.blocks)
-        .map(e => e._1))
-      .groupByKey(identity).count()
-      .toDF("docId", "nGrams")
-      .orderBy(col("nGrams").desc, col("docId").asc)
-      .limit(CandidateCap)
+    if (query.isEmpty) return Nil
+    // a 1-2 char query has no indexable trigram (the "p:" namespace holds
+    // only 3-char windows for paths longer than 3 chars): degrade to the
+    // first CandidateCap docIds — the same 50k collector cap the reference
+    // applies to its (1-2)-gram candidate pull — and let the subsequence
+    // re-rank do the filtering
+    val candidates =
+      if (query.length < 3)
+        searcher.docs.select($"docId", lit(1L).as("nGrams"))
+          .orderBy($"docId".asc).limit(CandidateCap)
+      else searcher.postings
+        .filter($"term".isin(CodeTokenizer.distinctTrigrams(query)
+          .map("p:" + _).toSeq: _*))
+        .flatMap(run => graft.index.PostingCodec.decodeRun(run.blocks)
+          .map(e => e._1))
+        .groupByKey(identity).count()
+        .toDF("docId", "nGrams")
+        .orderBy(col("nGrams").desc, col("docId").asc)
+        .limit(CandidateCap)
     val rows = candidates.join(searcher.docs, "docId")
       .select("docId", "path", "repo").collect()
     rows.iterator.flatMap { r =>

@@ -444,12 +444,18 @@ object Searcher {
 }
 
 /** Cursor over one term's compressed posting run with block skipping.
-  * blockMax = weight · block.maxTfNorm bounds every score in the block —
-  * the per-block max-score metadata of SURVEY §4.4.
+  * blockMax = slack · weight · partial(maxTf, normCache(minNormId)) bounds
+  * every score in the block — computed with the QUERY's norm cache (not a
+  * bound baked at build time) so it stays an upper bound when a
+  * MultiSearcher's merged avgdl differs from the building generation's,
+  * with Bm25.BoundSlack absorbing cross-expression f32 rounding.
   */
 final class BlockCursor(val term: String, val weight: Float,
                         blocks: IndexedSeq[Block],
                         normCache: Array[Float]) {
+
+  @inline private def bound(b: Block): Float =
+    Bm25.partial(weight, b.maxTf, normCache(b.minNormId)) * Bm25.BoundSlack
   private var bi = 0                       // current block index
   private var decoded: Array[(Long, Int, Byte)] = _
   private var ei = 0                       // entry index in decoded
@@ -471,7 +477,7 @@ final class BlockCursor(val term: String, val weight: Float,
     * under test.
     */
   def currentBlockMax: Float =
-    if (exhausted) 0f else weight * blocks(bi).maxTfNorm
+    if (exhausted) 0f else bound(blocks(bi))
   /** Run-global upper bound — safe for pivot selection regardless of
     * cursor position (BMW uses the term max for pivoting and the block max
     * for the final prune).
@@ -480,7 +486,7 @@ final class BlockCursor(val term: String, val weight: Float,
     var m = 0f
     var i = 0
     while (i < blocks.length) {
-      val v = weight * blocks(i).maxTfNorm
+      val v = bound(blocks(i))
       if (v > m) m = v
       i += 1
     }

@@ -55,11 +55,17 @@ case class CodeTrigrams(child: Expression)
   */
 case class Bm25Partial(tf: Expression, normId: Expression,
                        weight: Expression, avgdl: Expression)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def first: Expression = tf
   override def second: Expression = normId
   override def third: Expression = weight
   override def fourth: Expression = avgdl
+  // declared input types insert the byte→int / double→float casts that
+  // interpreted eval needs (nullSafeEval hard-casts; a TINYINT normId
+  // column would CCE there while codegen silently widened it)
+  override def inputTypes: Seq[DataType] =
+    Seq(IntegerType, IntegerType, FloatType, FloatType)
   override def dataType: DataType = FloatType
   override def nullable: Boolean =
     tf.nullable || normId.nullable || weight.nullable || avgdl.nullable

@@ -157,13 +157,7 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     freshCount
   }
 
-  private def rmDir(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(path))
-  }
+  private def rmDir(path: String): Unit = graft.util.FsUtil.rmTree(path)
 
   /** Delete every document of a repo (reference delete-by-repo,
     * indexes/file.rs:221-226) via tombstones; physical removal happens at
@@ -250,15 +244,23 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
       .select($"repo", $"path", $"commit", $"lang", $"content",
         $"contentSha", $"branch")
     val newBase = s"$root/base-new"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(newBase))
+    rmDir(newBase)
     new IndexBuilder(spark, newBase, bucketSize).build(live)
-    (1 to deltaCount()).foreach(g => rm(new java.io.File(deltaPath(g))))
-    tombstoneVersions().foreach(v => rm(new java.io.File(tombstoneDir(v))))
-    rm(new java.io.File(basePath))
-    new java.io.File(newBase).renameTo(new java.io.File(basePath))
+    (1 to deltaCount()).foreach(g => rmDir(deltaPath(g)))
+    tombstoneVersions().foreach(v => rmDir(tombstoneDir(v)))
+    // rename-aside swap, failures thrown: the old rm(base)+rename left a
+    // window where a crash meant NO live base generation; now the old base
+    // survives as base-old until the new one is in place (a crashed swap
+    // is recovered by the generations() check + re-running compact)
+    val oldBase = s"$root/base-old"
+    rmDir(oldBase)
+    graft.util.FsUtil.renameOrThrow(basePath, oldBase)
+    try graft.util.FsUtil.renameOrThrow(newBase, basePath)
+    catch {
+      case e: java.io.IOException =>
+        graft.util.FsUtil.renameOrThrow(oldBase, basePath) // restore
+        throw e
+    }
+    rmDir(oldBase)
   }
 }

@@ -191,7 +191,12 @@ class IndexBuilder(
     * salting); in-partition secondary sort by docId lets the encoder
     * stream each run into compressed blocks without materializing a group.
     */
-  def buildPostings(corpus: DataFrame): Unit = {
+  /** Sources from the docs stage output (docIds, normIds and the
+    * indexability filter are already materialized there) — deliberately
+    * takes NO corpus argument so a caller cannot assume a different input
+    * would matter.
+    */
+  def buildPostings(): Unit = {
     ensureFormat()
     if (done(postingsPath)) return
     ProgressReporter.inStage(spark, "postings") { buildPostingsBody() }
@@ -307,7 +312,7 @@ class IndexBuilder(
     */
   def build(corpus: DataFrame): Unit = {
     buildDocs(corpus)
-    buildPostings(corpus)
+    buildPostings()
     buildDict()
     if (includeRepoIndex) buildRepoIndex()
   }
@@ -342,13 +347,7 @@ class IndexBuilder(
       (fmt.exists() && java.nio.file.Files.readString(fmt.toPath).trim !=
         IndexBuilder.FormatVersion) ||
       (!fmt.exists() && done(docsPath)) // pre-versioning artifacts
-    if (stale) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(indexRoot))
-    }
+    if (stale) graft.util.FsUtil.rmTree(indexRoot)
     new java.io.File(indexRoot).mkdirs()
     if (!fmt.exists())
       java.nio.file.Files.writeString(fmt.toPath, IndexBuilder.FormatVersion)
@@ -371,7 +370,7 @@ object IndexBuilder {
   /** Index layout version — bump on any schema/codec/tokenizer-spec change
     * so cached index directories cannot be resumed across layouts.
     */
-  val FormatVersion = "graft-index-v7"
+  val FormatVersion = "graft-index-v8"
 
   /** Namespace bit for packed trigram codes: set = "p:" (path), clear =
     * "g:" (content). Codes use 48 low bits (3 UTF-16 chars).

@@ -36,15 +36,24 @@ case class Doc(
     branch: String)
 
 /** One compressed posting block: up to PostingCodec.BlockSize entries of
-  * (delta-docId varint, tf varint, normId byte). maxTfNorm is the
-  * idf-independent score bound max(tf/(tf+k1*(1-b+b*len/avgdl))) used by
-  * block-max WAND (SURVEY §4.4).
+  * (delta-docId varint, tf varint, normId byte).
+  *
+  * Block-max metadata: (maxTf, minNormId) — the block upper bound is
+  * derived AT QUERY TIME as weight·partial(maxTf, normCache(minNormId))
+  * (BlockCursor), because the norm cache depends on the QUERY's avgdl: a
+  * MultiSearcher merges stats across generations, so a bound baked with
+  * the building generation's avgdl (the old maxTfNorm float) stops being
+  * an upper bound when the merged avgdl is larger — WAND would silently
+  * prune true top-k docs. minNormId is the minimum UNSIGNED SmallFloat id
+  * (ids are monotone in doc length, so min id = min norm under ANY avgdl).
+  * maxTfNorm (baked with the build avgdl) is kept for the dict stats row.
   */
 case class Block(
     firstDocId: Long,
     lastDocId: Long,
     maxTf: Int,
     maxTfNorm: Float,
+    minNormId: Int,
     n: Int,
     bytes: Array[Byte])
 

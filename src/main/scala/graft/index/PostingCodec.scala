@@ -65,9 +65,11 @@ object PostingCodec {
     var prev = 0L
     var maxTf = 0
     var maxTfNorm = 0f
+    var minNormId = 255
     def flush(): Unit = if (n > 0) {
-      blocks += Block(first, prev, maxTf, maxTfNorm, n, buf.result())
+      blocks += Block(first, prev, maxTf, maxTfNorm, minNormId, n, buf.result())
       buf.clear(); n = 0; first = -1L; maxTf = 0; maxTfNorm = 0f
+      minNormId = 255
     }
     entries.foreach { case (docId, tf, normId) =>
       if (n == 0) { first = docId; prev = 0L }
@@ -77,7 +79,9 @@ object PostingCodec {
       buf += normId
       prev = docId
       if (tf > maxTf) maxTf = tf
-      val tn = Bm25.tfNorm(tf, normCache(normId & 0xff))
+      val u = normId & 0xff
+      if (u < minNormId) minNormId = u
+      val tn = Bm25.tfNorm(tf, normCache(u))
       if (tn > maxTfNorm) maxTfNorm = tn
       n += 1
       if (n == BlockSize) flush()

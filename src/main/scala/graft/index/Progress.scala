@@ -70,7 +70,14 @@ class ProgressReporter(spark: SparkSession,
     }
   }
 
-  override def onStageCompleted(s: SparkListenerStageCompleted): Unit = ()
+  // stage-id bookkeeping is dropped on completion so a listener left
+  // attached across many builds does not grow without bound (per-stage-NAME
+  // counters stay — they ARE the reported progress)
+  override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+    synchronized {
+      stageGroup.remove(s.stageInfo.stageId)
+      countedStages.remove(s.stageInfo.stageId)
+    }
 
   def close(): Unit = spark.sparkContext.removeSparkListener(this)
 }

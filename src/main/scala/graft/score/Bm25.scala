@@ -20,7 +20,12 @@ object Bm25 {
   val K1: Float = 1.2f
   val B: Float = 0.75f
 
-  def idf(df: Long, n: Long): Float = {
+  def idf(df0: Long, n: Long): Float = {
+    // df can exceed N in the "p:" namespace: not-indexed stubs carry path
+    // grams but are excluded from N/avgdl. Clamp so idf stays positive —
+    // an unclamped df > n flips the ratio negative (ranking docs with
+    // MORE matching grams LOWER, NaN past df = 2n+0.5).
+    val df = math.min(df0, n)
     val x = (n - df).toFloat + 0.5f
     val y = df.toFloat + 0.5f
     math.log1p((x / y).toDouble).toFloat
@@ -44,4 +49,15 @@ object Bm25 {
     */
   @inline def tfNorm(tf: Int, norm: Float): Float =
     tf.toFloat / (tf.toFloat + norm)
+
+  /** Multiplicative slack applied to block bounds before pruning: the
+    * bound partial(weight, maxTf, minNorm) and an entry's partial
+    * partial(weight, tf, norm) are DIFFERENT f32 expression trees of
+    * real values ordered bound ≥ entry — each tree carries ≤3 rounding
+    * steps (ε = 2⁻²⁴ each), so inflating the bound by ~17ε makes the
+    * computed bound dominate every computed entry score by construction.
+    * Pruning with a slightly larger bound is always exact (just a hair
+    * less aggressive).
+    */
+  val BoundSlack: Float = 1.000001f
 }

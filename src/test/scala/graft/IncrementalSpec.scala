@@ -213,6 +213,39 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("skewed-avgdl generations: WAND == exhaustive at small k (merged-stats block bounds)") {
+    // base has short docs, delta much longer ones → the merged avgdl is far
+    // from the base generation's own; a block bound baked with the BUILD
+    // avgdl underestimates true merged-avgdl scores and WAND silently
+    // drops top-k docs (round-2 review finding). Bounds are now derived at
+    // query time from (maxTf, minNormId).
+    val shortDocs = (1 to 60).map { i =>
+      (s"r/short", s"s/f$i.rs", "c1", "rust",
+        ("alpha " * (i % 4 + 1)) + "beta gamma")
+    }.toDF("repo", "path", "commit", "lang", "content")
+    val longDocs = (1 to 60).map { i =>
+      (s"r/long", s"l/f$i.rs", "c1", "rust",
+        "alpha beta " + ("filler " * (50 + i % 40)).trim)
+    }.toDF("repo", "path", "commit", "lang", "content")
+    val root = TestSpark.tempDir("inc-avgdl")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(shortDocs)
+    inc.ingest(longDocs)
+    val ms = inc.searcher()
+    for {
+      (q, conj) <- Seq(("alpha", true), ("beta", true), ("alpha beta", true),
+        ("gamma", true), ("alpha gamma", false))
+      k <- Seq(1, 2, 5, 10)
+    } {
+      def sorted(wand: Boolean) =
+        ms.search(ms.queryTerms(q), k, conjunctive = conj, useWand = wand)
+          .collect().map(h => (h.docId, h.score)).toSeq
+          .sortBy { case (d, s) => (-s, d) }
+      assert(sorted(wand = true) == sorted(wand = false),
+        s"query '$q' k=$k conj=$conj")
+    }
+  }
+
   test("repo-name search tracks ingests and deletes (live repo sub-index)") {
     val root = TestSpark.tempDir("inc-repoidx")
     val inc = new IncrementalIndexer(spark, root, bucketSize = 64)

@@ -73,6 +73,33 @@ class ScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("block bound dominates every entry partial under ANY query avgdl (fuzz)") {
+    // the (maxTf, minNormId) query-time bound — with Bm25.BoundSlack —
+    // must upper-bound each entry's f32 partial even when the query's
+    // normCache (merged avgdl) differs from the build's
+    val rng = new scala.util.Random(77)
+    for (_ <- 0 until 50) {
+      var docId = 0L
+      val entries = (0 until 300).map { _ =>
+        docId += 1 + rng.nextInt(1000)
+        (docId, 1 + rng.nextInt(50), rng.nextInt(256).toByte)
+      }
+      val buildCache = Bm25.normCache(1f + rng.nextFloat() * 200f)
+      val queryCache = Bm25.normCache(1f + rng.nextFloat() * 200f)
+      val weight = 0.01f + rng.nextFloat() * 10f
+      val blocks = PostingCodec.encodeRun(entries.iterator, buildCache)
+      blocks.foreach { b =>
+        val bound =
+          Bm25.partial(weight, b.maxTf, queryCache(b.minNormId)) *
+            Bm25.BoundSlack
+        PostingCodec.decodeBlock(b).foreach { case (_, tf, nid) =>
+          val p = Bm25.partial(weight, tf, queryCache(nid & 0xff))
+          assert(p <= bound, s"partial $p > bound $bound (tf=$tf nid=$nid)")
+        }
+      }
+    }
+  }
+
   test("varint boundaries") {
     Seq(0L, 1L, 127L, 128L, 16383L, 16384L, Long.MaxValue).foreach { v =>
       val b = scala.collection.mutable.ArrayBuilder.make[Byte]
