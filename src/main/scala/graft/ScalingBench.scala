@@ -44,6 +44,14 @@ object ScalingBench {
       val warmRoot = Bench.freshDir(s"/tmp/graft-scaling-warm-$cores")
       new IndexBuilder(spark, warmRoot, bucketSize = 4096, numPartitions = 8)
         .build(corpus.limit(2000))
+      // page-cache warm-up: read EVERY corpus byte once untimed. Without
+      // it the first level measured pays cold-file I/O the second does
+      // not (observed as a systematic run-over-run speedup), which
+      // corrupts the N-vs-4N ratio; a real cluster reads from distributed
+      // storage where this asymmetry does not exist.
+      corpus.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("content")))).head()
       val root = Bench.freshDir(s"/tmp/graft-scaling-idx-$cores")
       // fixed partition count at BOTH levels: granular tasks amortize skew
       // (a 2-wave schedule lets the slowest task set the wall clock) and
@@ -103,7 +111,15 @@ object ScalingBench {
          |
          |Pair choice (2→8 cores): host calibration shows this box gives
          |only ~2.8× pure-CPU speedup from 8→32 threads (shared vCPUs),
-         |so 8→32 cannot evidence the engine; 2→8 is the honest N→4N pair.
+         |so 8→32 cannot evidence the engine; 2→8 is the honest N→4N pair
+         |(pure-CPU calibration ceiling for 2→8 is ~3.7× = 0.93).
+         |
+         |Measurement protocol: one back-to-back pair, each level in its
+         |own JVM, page cache pre-warmed with a full untimed corpus read
+         |(cold-file I/O otherwise lands asymmetrically on whichever level
+         |runs first). The host's shared vCPUs still swing individual runs
+         |±10-15%; repeated pairs during round 2 ranged 0.71–0.86 with the
+         |reported pair produced by this protocol.
          |""".stripMargin
     new java.io.File("BENCH").mkdirs()
     java.nio.file.Files.writeString(

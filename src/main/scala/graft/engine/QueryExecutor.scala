@@ -286,6 +286,30 @@ class QueryExecutor(searcher: Searcher) {
       .limit(k)
   }
 
+  /** Repo results with highlight ranges on the name — the reference's
+    * HighlightedString.apply_regex over each repo branch's pattern
+    * (query/execute.rs:689-693, snippet.rs:296+). Driver-side over the ≤k
+    * winners, like snippets.
+    */
+  def executeRepoHighlighted(input: String, k: Int)
+      : Seq[(Long, String, Float, Seq[(Int, Int)])] = {
+    val patterns = QueryParser.parse(input)
+      .filter(readerFor(_).contains(ReaderKind.Repo))
+      .map { b =>
+        val l = b.repo.get
+        ((if (l.isRegex) l.value
+          else java.util.regex.Pattern.quote(l.value)),
+          b.caseSensitive.getOrElse(false))
+      }
+    executeRepo(input, k).collect().toSeq.map { r =>
+      val name = r.getString(1)
+      val hls = patterns.flatMap { case (p, cs) =>
+        Snippets.highlight(name, p, cs)
+      }.distinct.sorted
+      (r.getLong(0), name, r.getFloat(2), hls)
+    }
+  }
+
   /** Dispatched heterogeneous entry point (the reference's query_with,
     * query/execute.rs:344-390): routes to the winning reader and returns a
     * uniform (kind, id, name, path, score) frame — Content/File rows are

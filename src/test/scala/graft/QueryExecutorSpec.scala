@@ -254,6 +254,21 @@ class QueryExecutorSpec extends AnyFunSuite {
     assert(exec.executeRepo("repo:zz", 50).count() == 0)
   }
 
+  test("repo results carry highlight ranges on the name (HighlightedString)") {
+    val hs = exec.executeRepoHighlighted("repo:repo1", 10)
+    assert(hs.size == 1)
+    val (_, name, _, hls) = hs.head
+    assert(name == "github.com/org1/repo1")
+    // every highlighted range is exactly the literal
+    assert(hls.nonEmpty && hls.forall { case (s, e) =>
+      name.substring(s, e).equalsIgnoreCase("repo1") })
+    // regex branch: ranges are the regex matches
+    val hr = exec.executeRepoHighlighted("repo:/org[0-9]/", 50)
+    assert(hr.size == 10 && hr.forall { case (_, n, _, h) =>
+      h.nonEmpty && h.forall { case (s, e) =>
+        n.substring(s, e).matches("(?i)org[0-9]") } })
+  }
+
   test("executeAny routes to the winning reader (query_with analog)") {
     val f = exec.executeAny("parse", 5).collect()
     assert(f.nonEmpty && f.forall(_.getString(0) == "file"))
