@@ -265,6 +265,27 @@ class IncrementalSpec extends AnyFunSuite {
     assert(repoNames() == (aRepos - victim) ++ bRepos)
   }
 
+  test("crashed partial repo-index refresh cannot resume a stale name set") {
+    val root = TestSpark.tempDir("inc-repoidx-crash")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    // simulate a refresh that crashed after committing its docs stage
+    // under an OLD live set (only corpusA's repos) but before dict:
+    // version 1 is incomplete (no dict/_SUCCESS) so it is not live, but a
+    // naive rebuild of version 1 would RESUME onto the stale docs stage
+    val stale = s"$root/repoIndex-1"
+    graft.index.IndexBuilder.buildRepoIndexAt(spark,
+      corpusA.select(col("repo")), stale, bucketSize = 64)
+    graft.util.FsUtil.rmTree(s"$stale/dict") // crash before dict committed
+    inc.ingest(corpusB) // refresh must wipe the partial version, not resume
+    val names = new graft.engine.QueryExecutor(inc.searcher())
+      .executeRepo("repo:org", 1000).collect().map(_.getString(1)).toSet
+    val want = corpusA.select("repo").distinct().collect()
+      .map(_.getString(0)).toSet ++
+      corpusB.select("repo").distinct().collect().map(_.getString(0)).toSet
+    assert(names == want, "stale docs stage must not survive the refresh")
+  }
+
   test("structured streaming ingest drains arriving corpus files") {
     val root = TestSpark.tempDir("inc-stream")
     val inDir = TestSpark.tempDir("inc-stream-in")
