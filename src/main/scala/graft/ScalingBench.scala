@@ -44,14 +44,12 @@ object ScalingBench {
       val warmRoot = Bench.freshDir(s"/tmp/graft-scaling-warm-$cores")
       new IndexBuilder(spark, warmRoot, bucketSize = 4096, numPartitions = 8)
         .build(corpus.limit(2000))
-      // page-cache warm-up: read EVERY corpus byte once untimed. Without
-      // it the first level measured pays cold-file I/O the second does
-      // not (observed as a systematic run-over-run speedup), which
-      // corrupts the N-vs-4N ratio; a real cluster reads from distributed
-      // storage where this asymmetry does not exist.
-      corpus.agg(org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.length(
-          org.apache.spark.sql.functions.col("content")))).head()
+      // page-cache warm-up: decode EVERY corpus row (all columns) once,
+      // untimed. Without it the first level measured pays cold-file I/O
+      // the second does not (observed as a systematic run-over-run
+      // speedup), which corrupts the N-vs-4N ratio; a real cluster reads
+      // from distributed storage where this asymmetry does not exist.
+      corpus.foreach(_ => ())
       val root = Bench.freshDir(s"/tmp/graft-scaling-idx-$cores")
       // fixed partition count at BOTH levels: granular tasks amortize skew
       // (a 2-wave schedule lets the slowest task set the wall clock) and

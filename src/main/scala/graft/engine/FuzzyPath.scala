@@ -58,13 +58,16 @@ object FuzzyPath {
     import searcher.spark.implicits._
     if (query.isEmpty) return Nil
     // a 1-2 char query has no indexable trigram (the "p:" namespace holds
-    // only 3-char windows for paths longer than 3 chars): degrade to the
-    // first CandidateCap docIds — the same 50k collector cap the reference
-    // applies to its (1-2)-gram candidate pull — and let the subsequence
-    // re-rank do the filtering
+    // only 3-char windows for paths longer than 3 chars). The reference's
+    // NgramTokenizer(1,3) DOES index 1-2-grams, and a 1-2-gram posting
+    // matches exactly the paths CONTAINING the query as a substring — so
+    // the recall-identical degradation is a pushed-down substring filter
+    // over the stored paths, capped at the same 50k collector limit.
     val candidates =
       if (query.length < 3)
-        searcher.docs.select($"docId", lit(1L).as("nGrams"))
+        searcher.docs
+          .filter(lower($"path").contains(query.toLowerCase))
+          .select($"docId", lit(1L).as("nGrams"))
           .orderBy($"docId".asc).limit(CandidateCap)
       else searcher.postings
         .filter($"term".isin(CodeTokenizer.distinctTrigrams(query)

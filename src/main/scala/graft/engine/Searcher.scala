@@ -20,7 +20,8 @@ case class Hit(docId: Long, score: Float)
   *     → per-doc ordered f32 sum → global top-k. The correctness baseline.
   *   - block-max WAND: per docId-range bucket, cursor-based conjunctive /
   *     WAND evaluation over compressed blocks using per-block score bounds
-  *     (maxTfNorm · term weight) to skip blocks that cannot beat the local
+  *     derived at query time from (maxTf, minNormId) — see BlockCursor —
+  *     to skip blocks that cannot beat the local
   *     top-k threshold; buckets emit local top-k, a global
   *     TakeOrderedAndProject merges. Per-bucket evaluation is what makes
   *     WAND distributable: buckets are non-overlapping docId ranges, so

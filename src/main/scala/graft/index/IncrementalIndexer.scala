@@ -42,8 +42,12 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
         new java.io.File(deltaPath(g), "docs/_SUCCESS").exists())
       .size
 
-  /** Live generation roots, in creation order. */
+  /** Live generation roots, in creation order. Adopts a committed but
+    * unfinished compaction first (crash recovery — see finishCompaction),
+    * so readers never observe the half-swapped state.
+    */
   def generations(): Seq[String] = {
+    finishCompaction()
     val base = new java.io.File(basePath)
     val deltas = (1 to deltaCount()).map(deltaPath)
     (if (new java.io.File(base, "docs/_SUCCESS").exists()) Seq(base.getPath)
@@ -243,24 +247,37 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
       .join(readTombstones(), Seq("docId"), "left_anti")
       .select($"repo", $"path", $"commit", $"lang", $"content",
         $"contentSha", $"branch")
-    val newBase = s"$root/base-new"
-    rmDir(newBase)
-    new IndexBuilder(spark, newBase, bucketSize).build(live)
-    (1 to deltaCount()).foreach(g => rmDir(deltaPath(g)))
-    tombstoneVersions().foreach(v => rmDir(tombstoneDir(v)))
-    // rename-aside swap, failures thrown: the old rm(base)+rename left a
-    // window where a crash meant NO live base generation; now the old base
-    // survives as base-old until the new one is in place (a crashed swap
-    // is recovered by the generations() check + re-running compact)
-    val oldBase = s"$root/base-old"
-    rmDir(oldBase)
-    graft.util.FsUtil.renameOrThrow(basePath, oldBase)
-    try graft.util.FsUtil.renameOrThrow(newBase, basePath)
-    catch {
-      case e: java.io.IOException =>
-        graft.util.FsUtil.renameOrThrow(oldBase, basePath) // restore
-        throw e
+    rmDir(newBasePath) // a stale pre-marker attempt is dead weight
+    new IndexBuilder(spark, newBasePath, bucketSize).build(live)
+    // COMMIT POINT: once the marker exists, base-new is the authoritative
+    // index and every read path (generations()) finishes the swap before
+    // answering — there is no window where deltas/tombstones are gone but
+    // the new base is not live, or where deleted docs resurrect.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(compactMarker), "base-new is authoritative")
+    finishCompaction()
+  }
+
+  private def newBasePath = s"$root/base-new"
+  private def compactMarker = s"$root/COMPACTING"
+
+  /** Idempotent second half of compact(), re-entered from generations()
+    * after a crash anywhere past the commit point. Every step tolerates
+    * having already run; the old base is only deleted while base-new still
+    * exists, so a crash between any two steps just re-runs the rest.
+    */
+  private def finishCompaction(): Unit = {
+    if (!new java.io.File(compactMarker).exists()) return
+    if (new java.io.File(s"$newBasePath/docs/_SUCCESS").exists()) {
+      (1 to deltaCount()).foreach(g => rmDir(deltaPath(g)))
+      tombstoneVersions().foreach(v => rmDir(tombstoneDir(v)))
+      repoIndexVersions().foreach(v => rmDir(s"$root/repoIndex-$v"))
+      rmDir(basePath)
+      graft.util.FsUtil.renameOrThrow(newBasePath, basePath)
     }
-    rmDir(oldBase)
+    // marker without a complete base-new: the rename already happened on a
+    // previous attempt (or the build never committed and the old state is
+    // still fully intact) — either way only the marker is left to clear
+    new java.io.File(compactMarker).delete()
   }
 }

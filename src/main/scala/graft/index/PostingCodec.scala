@@ -19,7 +19,10 @@ import graft.score.Bm25
   *   byte(normId)                // quantized doc length: scoring needs no
   *                               // docs-table join at query time
   * Blocks hold ≤ BlockSize entries with (firstDocId, lastDocId, maxTf,
-  * maxTfNorm) metadata for skip + block-max pruning.
+  * minNormId) metadata for skip + block-max pruning — the score bound is
+  * derived from (maxTf, minNormId) with the QUERY's norm cache (see
+  * Model.Block), never baked at build time; the build-avgdl maxTfNorm
+  * float is kept only for the dict stats row.
   */
 object PostingCodec {
   val BlockSize = 128

@@ -70,13 +70,17 @@ class ProgressReporter(spark: SparkSession,
     }
   }
 
-  // stage-id bookkeeping is dropped on completion so a listener left
-  // attached across many builds does not grow without bound (per-stage-NAME
-  // counters stay — they ARE the reported progress)
+  // stage-id bookkeeping is dropped on SUCCESSFUL completion so a listener
+  // left attached across many builds does not grow without bound
+  // (per-stage-NAME counters stay — they ARE the reported progress). A
+  // FAILED attempt keeps its entries: the scheduler resubmits the same
+  // stageId, whose retry tasks must still be recognized.
   override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
     synchronized {
-      stageGroup.remove(s.stageInfo.stageId)
-      countedStages.remove(s.stageInfo.stageId)
+      if (s.stageInfo.failureReason.isEmpty) {
+        stageGroup.remove(s.stageInfo.stageId)
+        countedStages.remove(s.stageInfo.stageId)
+      }
     }
 
   def close(): Unit = spark.sparkContext.removeSparkListener(this)

@@ -265,6 +265,48 @@ class IncrementalSpec extends AnyFunSuite {
     assert(repoNames() == (aRepos - victim) ++ bRepos)
   }
 
+  test("compact() works on a delta-only root (ingest without buildBase)") {
+    val root = TestSpark.tempDir("inc-deltaonly")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.ingest(corpusA) // no base generation exists
+    inc.compact()
+    assert(inc.generations() == Seq(s"$root/base"))
+    val s = inc.searcher()
+    val full = fullRebuild(Seq(corpusA), "deltaonly")
+    for (q <- Seq("if", "parse"))
+      assert(keyedHits(s, q) == keyedHits(full, q), s"query '$q'")
+  }
+
+  test("crash after the compaction commit point: readers adopt and finish the swap") {
+    val root = TestSpark.tempDir("inc-compact-crash")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    inc.ingest(corpusB)
+    val repo = corpusA.select("repo").distinct().orderBy("repo")
+      .limit(1).collect()(0).getString(0)
+    inc.deleteRepo(repo)
+    // replay compact() up to (and including) the marker write, then "crash"
+    val live = spark.read.parquet(inc.generations().map(g => s"$g/docs"): _*)
+      .filter($"indexed")
+      .join(inc.readTombstones(), Seq("docId"), "left_anti")
+      .select($"repo", $"path", $"commit", $"lang", $"content",
+        $"contentSha", $"branch")
+    new IndexBuilder(spark, s"$root/base-new", bucketSize = 64).build(live)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/COMPACTING"), "x")
+    // reopen: the first read path must finish the swap before answering
+    val inc2 = new IncrementalIndexer(spark, root, bucketSize = 64)
+    assert(inc2.generations() == Seq(s"$root/base"))
+    assert(!new java.io.File(s"$root/COMPACTING").exists())
+    assert(!new java.io.File(s"$root/base-new").exists())
+    val s = inc2.searcher()
+    assert(s.docs.filter(col("repo") === repo).count() == 0)
+    val full = fullRebuild(Seq(corpusA.filter(col("repo") =!= repo),
+      corpusB), "compact-crash")
+    for (q <- Seq("if", "parse", "return index"))
+      assert(keyedHits(s, q) == keyedHits(full, q), s"query '$q'")
+  }
+
   test("crashed partial repo-index refresh cannot resume a stale name set") {
     val root = TestSpark.tempDir("inc-repoidx-crash")
     val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
