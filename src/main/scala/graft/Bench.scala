@@ -44,13 +44,29 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    // --- index build throughput (fresh build every bench run)
+    // --- index build throughput (fresh build every bench run), timed per
+    // stage so a files/sec move is attributable (round-2 VERDICT item 1):
+    // docs = id-rank + stored fields + stats; postings = tokenize + the one
+    // (term,bucket) shuffle + block encode; dict = per-term global agg;
+    // repo = the nested repo-name sub-index build (a round-2 feature the
+    // r1 number did not include).
+    def stagedBuild(b: IndexBuilder, corpus: org.apache.spark.sql.DataFrame,
+                    tag: String): Double = {
+      val (_, tDocs) = timed(b.buildDocs(corpus))
+      val (_, tPost) = timed(b.buildPostings())
+      val (_, tDict) = timed(b.buildDict())
+      val (_, tRepo) = timed(b.buildRepoIndex())
+      results += s"${tag}_docs" -> tDocs
+      results += s"${tag}_postings" -> tPost
+      results += s"${tag}_dict" -> tDict
+      results += s"${tag}_repoidx" -> tRepo
+      tDocs + tPost + tDict + tRepo
+    }
     val corpus = SparkEntry.corpusFromDocuments(spark, sfDir)
     val nFiles = corpus.count()
     val root = freshDir(s"/tmp/graft-bench-idx")
-    val (_, tBuild) = timed {
-      new IndexBuilder(spark, root, bucketSize = 1024).build(corpus)
-    }
+    val tBuild = stagedBuild(
+      new IndexBuilder(spark, root, bucketSize = 1024), corpus, "index_build")
     results += "index_build" -> tBuild
     val searcher = new Searcher(spark, root)
 
@@ -58,10 +74,8 @@ object Bench {
     // stop dominating files/sec (the documents table is only ~5k rows)
     val synth = graft.corpus.CorpusGen.synth(spark, 50, 400, seed = 42L)
     val synthRoot = freshDir(s"/tmp/graft-bench-synth")
-    val (_, tSynth) = timed {
-      new IndexBuilder(spark, synthRoot, bucketSize = 4096,
-        numPartitions = 128).build(synth)
-    }
+    val tSynth = stagedBuild(new IndexBuilder(spark, synthRoot,
+      bucketSize = 4096, numPartitions = 128), synth, "synth20k")
     results += "index_build_synth20k" -> tSynth
 
     // --- query latency over the reference query set (WAND path, k=10)
@@ -89,6 +103,12 @@ object Bench {
     val (_, tRepo) = timed(new graft.engine.QueryExecutor(searcher)
       .executeRepo("repo:rc1", 10).collect())
     results += "repo_search" -> tRepo
+
+    // production search page: top-k + executor-side snippets (reference
+    // page size 100) — the non-oracle snippet path, no full-set collect
+    val (_, tSnip) = timed(new graft.engine.QueryExecutor(searcher)
+      .executeWithSnippets("merge join", 100).collect())
+    results += "snippet_page" -> tSnip
 
     // --- pipeline ops
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

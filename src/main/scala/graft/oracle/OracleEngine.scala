@@ -20,7 +20,12 @@ import graft.tokenize.CodeTokenizer
   * compression and top-k machinery are fully independent.
   */
 class OracleEngine(rows: Seq[(String, String, String, String, String)],
-                   branches: Map[(String, String), String] = Map.empty) {
+                   branches: Map[(String, String), String] = Map.empty,
+                   /** Mirror of IndexBuilder.shortContentGrams: 1–3-gram
+                     * content windows (repo-name sub-index) instead of
+                     * 3-grams only (main index).
+                     */
+                   shortContentGrams: Boolean = false) {
   // rows: (repo, path, commit, lang, content); branches: optional
   // (repo, path) → branch-list string (mirror of the schema-optional
   // branch column)
@@ -43,15 +48,18 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)],
       .zipWithIndex.map { case ((r, p, c, l, content), i) =>
         val br = branches.getOrElse((r, p), "")
         if (!graft.index.IndexBuilder.isIndexable(content))
-          // stubs keep their PATH trigrams (mirror of the stubGrams path
-          // in IndexBuilder.buildPostingsBody): path search sees them
+          // stubs keep their PATH grams (mirror of the stubGrams path in
+          // IndexBuilder.buildPostingsBody): path search sees them. Paths
+          // take the full 1–3-gram window surface (format v9).
           ODoc(i + 1L, r, p, c, l, "", Map.empty, Map.empty, Set.empty,
-            CodeTokenizer.distinctTrigrams(p).toSet, 0, 0.toByte,
+            CodeTokenizer.distinctGrams123(p).toSet, 0, 0.toByte,
             indexed = false, branch = br)
         else {
           val (tf, docLen) = CodeTokenizer.termFreqs(content)
-          val g = CodeTokenizer.distinctTrigrams(content).toSet
-          val pg = CodeTokenizer.distinctTrigrams(p).toSet
+          val g =
+            if (shortContentGrams) CodeTokenizer.distinctGrams123(content).toSet
+            else CodeTokenizer.distinctTrigrams(content).toSet
+          val pg = CodeTokenizer.distinctGrams123(p).toSet
           val sym = mutable.HashMap.empty[String, Int]
           graft.tokenize.SymbolExtractor.symbolTerms(content).foreach { t =>
             sym.update(t, sym.getOrElse(t, 0) + 1)
@@ -177,9 +185,9 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)],
     import QueryParser.{ContentTarget, FlatQuery, QLit, SymbolTarget}
     val branches = QueryParser.parse(input)
     def pathScoredLit(b: FlatQuery): Option[QLit] = b.path match {
-      // mirror of QueryExecutor.pathIsScored: <3 chars has no indexable
-      // trigram and degrades to the unscored substring filter
-      case Some(l) if !l.isRegex && l.value.length >= 3 => Some(l)
+      // mirror of QueryExecutor.pathIsScored: any non-empty plain literal
+      // scores (format v9 indexes 1–3-gram path windows)
+      case Some(l) if !l.isRegex && l.value.nonEmpty => Some(l)
       case _ => None
     }
     def metaPred(b: FlatQuery, includePath: Boolean)(d: ODoc): Boolean = {
@@ -344,7 +352,8 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)],
     * the distinct repo names (content = name), docIds = the same sha-rank.
     */
   lazy val repoOracle: OracleEngine =
-    new OracleEngine(rows.map(_._1).distinct.map(nm => (nm, "", "", "", nm)))
+    new OracleEngine(rows.map(_._1).distinct.map(nm => (nm, "", "", "", nm)),
+      shortContentGrams = true)
 
   /** Mirror of QueryExecutor.executeRepo — same branch routing
     * (RepoReader query_matches), same scored-then-any-verify order, same
@@ -363,9 +372,7 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)],
       val l = b.repo.get
       val caseSens = b.caseSensitive.getOrElse(false)
       if (l.isRegex) repoOracle.regexHitsAll(l.value, caseSens)
-      else if (l.value.length < 3) // no full trigram: degraded candidate-all
-        repoOracle.docs.map(d => (d.docId, 0f))
-      else repoOracle.gramConjunctiveHits(
+      else repoOracle.gramConjunctiveHits( // short literals = one short gram
         CodeTokenizer.distinctTrigrams(l.value.toLowerCase).toSeq.sorted)
     }
     val perDoc = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Int, Float)]]

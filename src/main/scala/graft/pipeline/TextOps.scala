@@ -123,4 +123,36 @@ object TextOps {
     documents
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count("*").as("dupes"))
+
+  /** Token-budget text chunking with overlap — the training-pipeline
+    * chunker (reference semantic/chunk.rs:76-99; 256-token budget with
+    * overlap, config.rs:307-309) that feeds the embedding/ANN family.
+    * Deterministic boundaries: whitespace tokens, stride = budget −
+    * overlap, chunk i covers tokens [i·stride, i·stride + budget); the
+    * last chunk may be shorter; a doc with ≤budget tokens yields exactly
+    * one chunk and zero-token docs yield none. Pure Column pipeline
+    * (sequence → transform/slice → posexplode): shuffle-free, codegen'd,
+    * per-row work bounded by the doc's own length — scales to any corpus
+    * size. SQL-mirrorable (integer boundaries only).
+    */
+  def chunks(documents: DataFrame, budget: Int = 256,
+             overlap: Int = 64): DataFrame = {
+    require(budget > overlap && overlap >= 0,
+      s"budget $budget must exceed overlap $overlap")
+    val stride = budget - overlap
+    val n = size(col("toks"))
+    val nChunks = when(n === 0, lit(0)).otherwise(
+      lit(1) + ceil(greatest(n - budget, lit(0)).cast("double") / stride)
+        .cast("int"))
+    documents
+      .select(col("doc_id"), words(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), nChunks.as("nc"))
+      .filter(col("nc") > 0)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => slice(col("toks"), i * stride + 1, lit(budget)))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        array_join(col("col"), " ").as("chunk"),
+        size(col("col")).as("n_tokens"))
+  }
 }

@@ -135,6 +135,43 @@ object CodeTokenizer {
     out
   }
 
+  /** Distinct 1-, 2- AND 3-gram windows of the lowercased string as packed
+    * codes — the full reference `NgramTokenizer::new(1, 3, false)` surface
+    * (server/bleep/src/indexes.rs:249): every window of each length, so a
+    * 1–2-char query is an index lookup instead of a column scan. Used for
+    * the PATH namespace and the repo-name sub-index, where the distinct
+    * short-gram set is small and bounded; content keeps 3-grams only
+    * (SURVEY §7.3 — a content 1-gram posting at 10^12 docs is df≈N for
+    * every byte, and nothing queries it: word terms are indexed whole).
+    */
+  def distinctGramCodes123(s: String): Array[Long] = {
+    val n = s.length
+    if (n == 0) return Array.empty
+    val set = new LongSet(math.min(1 << 16,
+      math.max(16, Integer.highestOneBit(n) * 8)))
+    var i = 0
+    while (i < n) {
+      val c0 = lowerChar(s.charAt(i)).toLong
+      set.add((1L << 48) | (c0 << 32))
+      if (i + 1 < n) {
+        val c1 = lowerChar(s.charAt(i + 1)).toLong
+        set.add((2L << 48) | (c0 << 32) | (c1 << 16))
+        if (i + 2 < n)
+          set.add((3L << 48) | (c0 << 32) | (c1 << 16) |
+            lowerChar(s.charAt(i + 2)).toLong)
+      }
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    var k = 0
+    set.foreach { packed => out(k) = packed; k += 1 }
+    out
+  }
+
+  /** String form of distinctGramCodes123 (oracle gram sets / tests). */
+  def distinctGrams123(s: String): Array[String] =
+    distinctGramCodes123(s).map(decodeTrigram)
+
   /** Decode a packed trigram code back to its exact string (inverse of
     * distinctTrigramCodes).
     */

@@ -36,6 +36,51 @@ class EntrySpec extends AnyFunSuite {
     assert(gotChain == (1L to 9L).map(_ -> 1L).toMap)
   }
 
+  test("chunks: deterministic token-budget boundaries with overlap (chunk.rs analog)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (2L, "only three words"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TextOps.chunks(docs, budget = 16, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // 30 tokens, budget 16, stride 12 → starts 0/12/24, sizes 16/16/6
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._4).toSeq == Seq(16, 16, 6))
+    assert(d1(0)._3.startsWith("w1 ") && d1(1)._3.startsWith("w13 ") &&
+      d1(2)._3.startsWith("w25 "))
+    // overlap: the last 4 tokens of chunk i are the first 4 of chunk i+1
+    assert(d1(0)._3.split(" ").takeRight(4).toSeq ==
+      d1(1)._3.split(" ").take(4).toSeq)
+    // ≤budget tokens → exactly one chunk; empty doc → none
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, "only three words", 3)))
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("chunks feed the embedding/ANN family (chunk → embed → cosine top-k)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (1L to 20L).map(i =>
+      (i, (1 to 40).map(j => s"t${(i * 7 + j) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = graft.pipeline.TextOps.chunks(docs, budget = 16, overlap = 4)
+    // deterministic stand-in embedder (no model in this container): 8 dims
+    // derived from the chunk's rolling hash — the real pipeline swaps this
+    // one select for a model UDF, the ANN side is unchanged
+    val emb = chunks.select(
+      (col("doc_id") * 100 + col("chunk_id")).as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (pmod(graft.pipeline.TextOps.charHash(col("chunk")) * (d + 1),
+          lit(997)).cast("double") / 997.0).cast("float")).as("embedding"))
+    val nChunks = emb.count()
+    assert(nChunks > 20, "docs must split into multiple chunks")
+    val top = graft.pipeline.Similarity.cosineTopK(emb, 100L, 5).collect()
+    assert(top.length == 5)
+    val cos = top.map(_.getDouble(1)).toSeq
+    assert(cos == cos.sorted.reverse && cos.forall(c => c >= -1 && c <= 1))
+  }
+
   test("minhashCandidates giant-bucket cap drops degenerate buckets only") {
     import spark.implicits._
     // 6 identical docs -> one clique bucket per band; 2 distinct docs

@@ -74,6 +74,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("1–2-char fuzzy path query hits postings, not a path-column scan " +
+       "(v9 short grams, round-2 VERDICT item 2)") {
+    val df = graft.engine.FuzzyPath.candidates(searcher, "f1")
+    val plan = planOf(df)
+    // candidate generation = pushed-down term lookup on the postings scan
+    assert(plan.contains("In(term, [p:f1])") || plan.contains("EqualTo(term,p:f1)"),
+      plan.take(3000))
+    // and no substring filter over the stored path column anywhere
+    assert(!plan.toLowerCase.contains("contains(lower(path"),
+      s"short fuzzy query must not scan the path column:\n${plan.take(3000)}")
+    // 1-char form too
+    val plan1 = planOf(graft.engine.FuzzyPath.candidates(searcher, "f"))
+    assert(plan1.contains("In(term, [p:f])") || plan1.contains("EqualTo(term,p:f)"),
+      plan1.take(3000))
+  }
+
+  test("1–2-char repo query scores via sub-index postings, not candidate-all " +
+       "(v9 short grams)") {
+    val exec = new graft.engine.QueryExecutor(searcher)
+    val plan = planOf(exec.executeRepo("repo:or", 10))
+    assert(plan.contains("In(term, [g:or])") || plan.contains("EqualTo(term,g:or)"),
+      plan.take(3000))
+  }
+
   test("whole-stage codegen covers the filter/project pipeline") {
     val df = searcher.docs.select("docId", "lang", "docLen")
       .filter($"docLen" > 10)

@@ -138,6 +138,42 @@ class QueryExecutorSpec extends AnyFunSuite {
     assert(a > b)
   }
 
+  test("executeWithSnippets: executor-side page snippets match the Snipper spec") {
+    def lineEnds(s: String): Array[Int] = {
+      val b = Array.newBuilder[Int]
+      s.indices.foreach(i => if (s.charAt(i) == '\n') b += i)
+      if (s.isEmpty || s.last != '\n') b += s.length
+      b.result()
+    }
+    val k = 10
+    val page = exec.executeWithSnippets("parse", k).collect()
+    assert(page.nonEmpty && page.length <= k)
+    // same hits, same order as the plain top-k
+    val hits = exec.execute("parse", k).collect()
+    assert(page.map(r => (r.getLong(0), r.getFloat(1))).toSeq ==
+      hits.map(h => (h.docId, h.score)).toSeq
+        .sortBy { case (d, s) => (-s, d) })
+    // per-row snippet counts equal the driver-side Snipper on the same doc
+    page.foreach { r =>
+      val d = oracle.docs((r.getLong(0) - 1).toInt)
+      val snips = Snippets.forDoc(d.content, lineEnds(d.content), "\\Qparse\\E")
+      assert(r.getInt(5) == snips.size, s"doc ${r.getLong(0)} n_snippets")
+      assert(r.getInt(6) == snips.map(_.highlights.size).sum)
+      assert(r.getString(7) == snips.headOption.map(_.data).getOrElse(""))
+    }
+    // symbol mode routes through forDocSymbols
+    val sp = exec.executeWithSnippets("symbol:read", k).collect()
+    sp.foreach { r =>
+      val d = oracle.docs((r.getLong(0) - 1).toInt)
+      val snips = Snippets.forDocSymbols(d.content, lineEnds(d.content),
+        "\\Qread\\E")
+      assert(r.getInt(5) == snips.size, s"doc ${r.getLong(0)} (symbol mode)")
+    }
+    // untargeted queries page without snippets
+    val meta = exec.executeWithSnippets("repo:repo1 lang:rust", k).collect()
+    assert(meta.forall(r => r.getInt(5) == 0 && r.getString(7) == ""))
+  }
+
   test("metadata-only query lists filtered docs with score 0") {
     val got = exec.execute("repo:repo1 lang:rust", 1000).collect()
     assert(got.forall(_.score == 0f))
@@ -197,16 +233,25 @@ class QueryExecutorSpec extends AnyFunSuite {
     assert(exec.execute("branch:dev if", 50).count() == 0)
   }
 
-  test("short path literal degrades to the unscored filter, not empty results") {
-    // regression: distinctTrigrams("f1") returns the 2-char gram "f1",
-    // which is never indexed — the old nonEmpty check sent `path:f1` down
-    // the scored route and it matched NOTHING on both engine and oracle
-    val got = exec.execute("path:f1", 50).collect()
-    assert(got.nonEmpty, "short path literal must fall back to the filter")
-    assert(got.forall(_.score == 0f))
-    val want = oracle.executeQuery("path:f1", 50)
+  test("short path literal is scored via the v9 short-gram postings") {
+    // format v9 indexes all 1–3-gram path windows (NgramTokenizer(1,3)
+    // parity), so `path:f1` scores through the "p:f1" posting instead of
+    // degrading to an unscored column-scan filter — same doc set as the
+    // substring filter (the post-verify keeps it exact), now ranked
+    val got = exec.execute("path:f1", 10000).collect()
+    assert(got.nonEmpty, "short path literal must hit the short-gram posting")
+    assert(got.forall(_.score > 0f), "short path hits carry the boosted score")
+    val wantIds = oracle.docs.filter(
+      _.path.toLowerCase.contains("f1")).map(_.docId).toSet
+    assert(got.map(_.docId).toSet == wantIds)
+    val want = oracle.executeQuery("path:f1", 10000)
     assert(got.map(h => (h.docId, h.score)).toSeq
       .sortBy { case (d, s) => (-s, d) } == want)
+    // 1-char: still index-backed, still exact
+    val one = exec.execute("path:9", 200).collect()
+    val oneWant = oracle.executeQuery("path:9", 200)
+    assert(one.map(h => (h.docId, h.score)).toSeq
+      .sortBy { case (d, s) => (-s, d) } == oneWant)
   }
 
   test("reader dispatch matrix (reference query_matches, reader.rs + execute.rs:373-387)") {
@@ -238,8 +283,8 @@ class QueryExecutorSpec extends AnyFunSuite {
         "repo:/repo[0-3]/", // regex branch (two-phase on the sub-index)
         "repo:repo1 or repo:repo2", // branch union sum
         "repo:repo1 lang:rust", // lang present but ignored by RepoReader
-        "repo:zz", // <3 chars, degraded + verify → empty
-        "repo:o", // <3 chars, degraded → all names, score 0
+        "repo:zz", // <3 chars: short-gram posting absent + verify → empty
+        "repo:o", // <3 chars: scored via the "g:o" 1-gram posting (v9)
         "case:sensitive repo:REPO1", // case-sensitive verify → empty
         "repo:doesnotexist")) {
       val got = exec.executeRepo(q, 50).collect()
