@@ -121,6 +121,17 @@ object Bench {
     results += "cosine_topk" -> tCos
     val (_, tIvf) = timed(Similarity.ivfTopK(embs, 0L, 10).collect())
     results += "ivf_topk" -> tIvf
+
+    // ANN recall@10 vs the brute-force scan (k-means-refined IVF and
+    // multi-probe LSH) — quality alongside the latency numbers
+    val brute10 = Similarity.cosineTopK(embs, 0L, 10).collect()
+      .map(_.getLong(0)).toSet
+    val ivf10 = Similarity.ivfTopK(embs, 0L, 10).collect()
+      .map(_.getLong(0)).toSet
+    val lsh10 = Similarity.lshTopK(embs, 0L, 10).collect()
+      .map(_.getLong(0)).toSet
+    results += "ivf_recall_at10" -> brute10.intersect(ivf10).size / 10.0
+    results += "lsh_recall_at10" -> brute10.intersect(lsh10).size / 10.0
     val (_, tCc) = timed(
       Dedup.duplicateClusters(Dedup.minhashStarEdges(docs)).count())
     results += "dedup_clusters" -> tCc

@@ -274,6 +274,11 @@ object SparkEntry {
       new graft.engine.QueryExecutor(indexFor(s, d))
         .executeRepo("repo:rc1 or repo:/src1[0-9]/", AllK)
         .select("name")),
+    "e_org_repo_search" -> ((s, d) => // org-qualified RepoReader search
+      // over an org-structured corpus (owner-segment filter + scored name)
+      new graft.engine.QueryExecutor(orgIndexFor(s, d))
+        .executeRepo("org:acme repo:rc1", AllK)
+        .select("name")),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(emb(s, d), 0L, 10)),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d), 0L, 10)),
     "e_media_features" -> ((s, _) =>
@@ -305,6 +310,24 @@ object SparkEntry {
   private def codeIndexFor(s: SparkSession, d: String): Searcher = {
     val root = s"/tmp/graft-codeidx-${d.replaceAll("[^a-zA-Z0-9.]", "_")}"
     new IndexBuilder(s, root, bucketSize = 1024).build(codeCorpus(s, d))
+    new Searcher(s, root)
+  }
+
+  /** Derived corpus whose repo names carry an owner segment
+    * ("acme/srcN" / "beta/srcN"), exercising org-qualified repo search.
+    */
+  private def orgCorpus(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      concat(when(col("doc_id") % 2 === 0, lit("acme/"))
+        .otherwise(lit("beta/")), col("source")).as("repo"),
+      concat(lit("doc/"), col("doc_id")).as("path"),
+      lit("main").as("commit"),
+      col("lang"),
+      col("text").as("content"))
+
+  private def orgIndexFor(s: SparkSession, d: String): Searcher = {
+    val root = s"/tmp/graft-orgidx-${d.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    new IndexBuilder(s, root, bucketSize = 1024).build(orgCorpus(s, d))
     new Searcher(s, root)
   }
 
@@ -620,6 +643,12 @@ object SparkEntry {
         """SELECT DISTINCT source AS name FROM documents
           |WHERE contains(lower(source), 'rc1')
           |   OR regexp_matches(lower(source), 'src1[0-9]')""".stripMargin,
+      "e_org_repo_search" -> // org segment must match AND the name must
+        // match the repo literal (executeRepo org-qualified byte filter)
+        """SELECT DISTINCT (CASE WHEN doc_id % 2 = 0 THEN 'acme/' ELSE 'beta/' END)
+          |  || source AS name
+          |FROM documents
+          |WHERE doc_id % 2 = 0 AND contains(lower(source), 'rc1')""".stripMargin,
       "e_lsh_topk" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
           |dims AS (SELECT vec_id, d, emb[CAST(d AS INT)+1] AS x
@@ -636,24 +665,51 @@ object SparkEntry {
           |FROM e JOIN b USING (vec_id) CROSS JOIN q
           |WHERE xor(b.bucket, q.qb) IN (0,1,2,4,8,16,32) AND e.vec_id <> 0
           |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
-      "e_ivf_topk" ->
+      "e_ivf_topk" -> // mirror of ivfTopK(nlist=16, nprobe=4, lloydIters=2):
+        // exact-integer Lloyd — quantize floor(x·1e4), assign by argmax
+        // BIGINT dot (ties → smaller cid), update by per-dim floor(sum/
+        // count), empty cells keep their centroid; two unrolled iterations
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
           |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
           |dims AS (SELECT vec_id, d,
           |           CAST(floor(emb[CAST(d AS INT)+1]*10000) AS BIGINT) AS x
           |         FROM e CROSS JOIN (SELECT unnest(range(0,64)) AS d)),
-          |cdims AS (SELECT vec_id AS cid, d, x AS cx FROM dims WHERE vec_id < 16),
-          |dots AS (SELECT dims.vec_id, cid, sum(x*cx) AS qdot
-          |         FROM dims JOIN cdims USING (d) GROUP BY dims.vec_id, cid),
-          |cells AS (SELECT vec_id, cid AS cell FROM (
+          |c0 AS (SELECT vec_id AS cid, d, x AS cx FROM dims WHERE vec_id < 16),
+          |d1 AS (SELECT dims.vec_id, cid, sum(x*cx) AS dp
+          |       FROM dims JOIN c0 USING (d) GROUP BY dims.vec_id, cid),
+          |a1 AS (SELECT vec_id, cid AS cell FROM (
           |    SELECT vec_id, cid, row_number() OVER (
-          |      PARTITION BY vec_id ORDER BY qdot DESC, cid) AS rn FROM dots)
+          |      PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn FROM d1)
           |  WHERE rn = 1),
-          |probes AS (SELECT cid FROM dots WHERE vec_id = 0
-          |           ORDER BY qdot DESC, cid LIMIT 4)
+          |u1 AS (SELECT a1.cell AS cid, dims.d,
+          |         CAST(floor(CAST(sum(dims.x) AS DOUBLE)/count(*)) AS BIGINT) AS cx
+          |       FROM dims JOIN a1 USING (vec_id) GROUP BY a1.cell, dims.d),
+          |c1 AS (SELECT cid, d, cx FROM u1 UNION ALL
+          |       SELECT cid, d, cx FROM c0
+          |       WHERE cid NOT IN (SELECT DISTINCT cid FROM u1)),
+          |d2 AS (SELECT dims.vec_id, cid, sum(x*cx) AS dp
+          |       FROM dims JOIN c1 USING (d) GROUP BY dims.vec_id, cid),
+          |a2 AS (SELECT vec_id, cid AS cell FROM (
+          |    SELECT vec_id, cid, row_number() OVER (
+          |      PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn FROM d2)
+          |  WHERE rn = 1),
+          |u2 AS (SELECT a2.cell AS cid, dims.d,
+          |         CAST(floor(CAST(sum(dims.x) AS DOUBLE)/count(*)) AS BIGINT) AS cx
+          |       FROM dims JOIN a2 USING (vec_id) GROUP BY a2.cell, dims.d),
+          |c2 AS (SELECT cid, d, cx FROM u2 UNION ALL
+          |       SELECT cid, d, cx FROM c1
+          |       WHERE cid NOT IN (SELECT DISTINCT cid FROM u2)),
+          |df AS (SELECT dims.vec_id, cid, sum(x*cx) AS dp
+          |       FROM dims JOIN c2 USING (d) GROUP BY dims.vec_id, cid),
+          |af AS (SELECT vec_id, cid AS cell FROM (
+          |    SELECT vec_id, cid, row_number() OVER (
+          |      PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn FROM df)
+          |  WHERE rn = 1),
+          |pr AS (SELECT cid FROM df WHERE vec_id = 0
+          |       ORDER BY dp DESC, cid LIMIT 4)
           |SELECT e.vec_id, round(list_cosine_similarity(e.emb, q.qe), 4) AS cos
-          |FROM e JOIN cells USING (vec_id) CROSS JOIN q
-          |WHERE cells.cell IN (SELECT cid FROM probes) AND e.vec_id <> 0
+          |FROM e JOIN af USING (vec_id) CROSS JOIN q
+          |WHERE af.cell IN (SELECT cid FROM pr) AND e.vec_id <> 0
           |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
       "e_media_features" ->
         """WITH m AS (SELECT i AS media_id,

@@ -66,6 +66,20 @@ private[engine] case class SnippetRow(docId: Long, score: Float,
                                       n_highlights: Int,
                                       first_snippet: String)
 
+object QueryExecutor {
+  /** Org segment of a repo name — the owner path segment immediately
+    * before the basename ("github.com/org1/repo1" → "org1"; a bare name
+    * has none). The reference Repo schema carries an org field but stores
+    * it empty ("We don't have organization support for now",
+    * indexes/repo.rs:32-33); deriving it from the ref structure is the
+    * extension that field anticipates. Shared engine/oracle spec.
+    */
+  def orgOf(name: String): String = {
+    val parts = name.split('/')
+    if (parts.length >= 2) parts(parts.length - 2) else ""
+  }
+}
+
 sealed trait ReaderKind
 object ReaderKind {
   case object Content extends ReaderKind
@@ -339,13 +353,18 @@ class QueryExecutor(searcher: Searcher) {
           Hit(id, s)
         }
       }
-    // byte-filter verify: name matches any branch pattern
+    // byte-filter verify: the name matches any branch's pattern — with an
+    // org-qualified branch additionally requiring its `org:` literal to
+    // match the name's org segment (orgOf; substring/regex per literal,
+    // like every metadata label)
+    val orgSeg: Column = when(size(split($"name", "/")) >= 2,
+      element_at(split($"name", "/"), -2)).otherwise(lit(""))
     val anyMatch: Column = branches.map { b =>
-      val l = b.repo.get
       val caseSens = b.caseSensitive.getOrElse(false)
-      val pat = (if (caseSens) "" else "(?i)") +
+      def pat(l: QLit): String = (if (caseSens) "" else "(?i)") +
         (if (l.isRegex) l.value else java.util.regex.Pattern.quote(l.value))
-      regexp_like($"name", lit(pat))
+      val nameOk = regexp_like($"name", lit(pat(b.repo.get)))
+      b.org.fold(nameOk)(o => nameOk && regexp_like(orgSeg, lit(pat(o))))
     }.reduce(_ || _)
     summed.toDF()
       .join(rs.docs.select($"docId", $"repo".as("name")), "docId")

@@ -381,15 +381,20 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)],
         perDoc.getOrElseUpdate(id, mutable.ArrayBuffer.empty) += ((i, s))
       }
     }
+    // per-branch byte filter: name pattern, AND the org segment pattern on
+    // org-qualified branches (mirror of QueryExecutor.executeRepo)
     val patterns = branches.map { b =>
-      val l = b.repo.get
       val caseSens = b.caseSensitive.getOrElse(false)
-      java.util.regex.Pattern.compile((if (caseSens) "" else "(?i)") +
-        (if (l.isRegex) l.value else java.util.regex.Pattern.quote(l.value)))
+      def pat(l: QueryParser.QLit) =
+        java.util.regex.Pattern.compile((if (caseSens) "" else "(?i)") +
+          (if (l.isRegex) l.value else java.util.regex.Pattern.quote(l.value)))
+      (pat(b.repo.get), b.org.map(pat))
     }
     val hits = perDoc.iterator.flatMap { case (id, parts) =>
       val name = repoOracle.docs((id - 1).toInt).repo
-      if (patterns.exists(_.matcher(name).find())) {
+      val org = graft.engine.QueryExecutor.orgOf(name)
+      if (patterns.exists { case (np, op) =>
+          np.matcher(name).find() && op.forall(_.matcher(org).find()) }) {
         var s = 0f
         parts.sortBy(_._1).foreach(p => s += p._2)
         Some((id, name, s))

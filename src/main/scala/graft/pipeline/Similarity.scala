@@ -102,44 +102,90 @@ object Similarity {
   private def qarr(a: Column): Column =
     transform(a, x => floor(x.cast("double") * 10000).cast("long"))
 
-  /** Exact integer dot product of two quantized embeddings. */
-  private def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(qarr(a), qarr(b), _ * _), lit(0L), _ + _)
+  /** Exact integer dot product of two ALREADY-quantized arrays. */
+  private def qdotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
 
-  /** IVF cell assignment (the coarse quantizer): centroids are the first
-    * `nlist` vectors (a deterministic, training-free quantizer — the IVF
-    * STRUCTURE is the scale path being built: assignment is one scan ×
-    * broadcast(nlist), probing reads nprobe/nlist of the corpus; swapping
-    * in k-means centroids changes recall, not the plan shape). cell =
-    * argmax centroid dot product, ties to the smaller centroid id, via a
-    * map-side-combinable max(struct) — no window shuffle.
+  /** Cell assignment against a given QUANTIZED centroid frame
+    * (cid, cent ARRAY<BIGINT>): cell = argmax centroid dot product, ties
+    * to the smaller centroid id, via a map-side-combinable max(struct) —
+    * one scan × broadcast(nlist), no window shuffle.
     */
-  def ivfCells(embeddings: DataFrame, nlist: Int = 16): DataFrame = {
-    val cents = embeddings.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("cent"))
-    embeddings.crossJoin(broadcast(cents))
+  private def assignCells(quant: DataFrame, cents: DataFrame): DataFrame =
+    quant.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
-        intDot(col("embedding"), col("cent")).as("qdot"))
+        qdotQ(col("qe"), col("cent")).as("qdot"))
       .groupBy("vec_id")
       .agg(max(struct(col("qdot").as("q"), (-col("cid")).as("nc"))).as("m"))
       .select(col("vec_id"), (-col("m.nc")).cast("long").as("cell"))
+
+  /** One Lloyd update over quantized vectors: the new centroid is the
+    * per-dimension INTEGER mean floor(sum/count) of the cell's members —
+    * sum and count are order-free, and the floor of an exact-integer
+    * ratio is engine-independent (the true ratio is ≥1/count away from
+    * any other integer, far beyond double rounding error), so every
+    * iteration is bit-identical on any engine and any aggregation order.
+    * Cells that lose all members keep their previous centroid.
+    */
+  private def lloydUpdate(quant: DataFrame, cents: DataFrame): DataFrame = {
+    val updated = quant.join(assignCells(quant, cents), "vec_id")
+      .select(col("cell"), posexplode(col("qe")).as(Seq("d", "x")))
+      .groupBy("cell", "d")
+      .agg(floor(sum("x").cast("double") / count("*")).cast("long").as("cx"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+        s => s.getField("cx")).as("newCent"))
+      .select(col("cell").as("cid"), col("newCent"))
+    cents.join(updated, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("newCent"), col("cent")).as("cent"))
   }
+
+  /** IVF coarse-quantizer centroids: deterministic init (the first `nlist`
+    * vectors, quantized) refined by `lloydIters` Lloyd iterations in exact
+    * integer arithmetic. Returns (cid, cent ARRAY<BIGINT>). Training is
+    * nlist-bounded work per iteration (assignment scan × broadcast(nlist)
+    * + one aggregation) — the standard IVF train-then-assign shape.
+    */
+  def ivfCentroids(embeddings: DataFrame, nlist: Int = 16,
+                   lloydIters: Int = 2): DataFrame = {
+    val quant = embeddings.select(col("vec_id"), qarr(col("embedding")).as("qe"))
+    var cents = quant.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("qe").as("cent"))
+    (0 until lloydIters).foreach { _ =>
+      // tiny frame (nlist rows): persist to cut the re-planned lineage of
+      // iterated assignments
+      cents = lloydUpdate(quant, cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    cents
+  }
+
+  /** IVF cell assignment of every vector against the refined centroids. */
+  def ivfCells(embeddings: DataFrame, nlist: Int = 16,
+               lloydIters: Int = 2): DataFrame =
+    assignCells(
+      embeddings.select(col("vec_id"), qarr(col("embedding")).as("qe")),
+      ivfCentroids(embeddings, nlist, lloydIters))
 
   /** IVF ANN top-k: probe the `nprobe` cells whose centroids best match
     * the query, brute-force cosine only within them — candidate work is a
     * nprobe/nlist fraction of the corpus at any scale, and the final
     * cosine/top-k is the same codegen'd scan as cosineTopK over the
-    * reduced set.
+    * reduced set. Centroids are k-means-refined (lloydIters ×
+    * integer-Lloyd) from the deterministic first-nlist init — the round-2
+    * "training-free quantizer" upgraded to a trained one without losing
+    * cross-engine determinism.
     */
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cells = ivfCells(embeddings, nlist)
-    val cents = embeddings.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("cent"))
+              nlist: Int = 16, nprobe: Int = 4,
+              lloydIters: Int = 2): DataFrame = {
+    val cents = ivfCentroids(embeddings, nlist, lloydIters)
+    val cells = assignCells(
+      embeddings.select(col("vec_id"), qarr(col("embedding")).as("qe")), cents)
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
     val probes = cents.crossJoin(broadcast(q))
-      .select(col("cid"), intDot(col("cent"), col("q_embedding")).as("qdot"))
+      .select(col("cid"), qdotQ(col("cent"), qarr(col("q_embedding"))).as("qdot"))
       .orderBy(col("qdot").desc, col("cid").asc)
       .limit(nprobe)
       .select(col("cid").as("cell"))

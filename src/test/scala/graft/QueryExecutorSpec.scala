@@ -286,6 +286,10 @@ class QueryExecutorSpec extends AnyFunSuite {
         "repo:zz", // <3 chars: short-gram posting absent + verify → empty
         "repo:o", // <3 chars: scored via the "g:o" 1-gram posting (v9)
         "case:sensitive repo:REPO1", // case-sensitive verify → empty
+        "org:org1 repo:repo", // org-qualified: org segment filter (v9)
+        "org:org1 repo:repo1 or repo:repo2", // org on one branch only
+        "org:/org[12]/ repo:repo", // regex org literal
+        "org:doesnotexist repo:repo", // org filter kills every candidate
         "repo:doesnotexist")) {
       val got = exec.executeRepo(q, 50).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getFloat(2))).toSeq
@@ -297,6 +301,10 @@ class QueryExecutorSpec extends AnyFunSuite {
     assert(exec.executeRepo("repo:org", 50).count() == 10)
     assert(exec.executeRepo("repo:o", 50).count() == 10)
     assert(exec.executeRepo("repo:zz", 50).count() == 0)
+    // org: narrows to the owner segment: only github.com/org1/repo1
+    assert(exec.executeRepo("org:org1 repo:repo", 50).collect()
+      .map(_.getString(1)).toSeq == Seq("github.com/org1/repo1"))
+    assert(exec.executeRepo("org:doesnotexist repo:repo", 50).count() == 0)
   }
 
   test("repo results carry highlight ranges on the name (HighlightedString)") {
