@@ -6,22 +6,49 @@ import graft.corpus.CorpusGen
 import graft.index.IndexBuilder
 
 /** N-vs-4N scaling evidence (BASELINE.json north_rule; sandbox stand-in per
-  * driver instruction): the SAME index build at local[8] and local[32] over
+  * driver instruction): the SAME index build at local[N] and local[4N] over
   * the SAME materialized parquet corpus, each measurement in its own JVM
   * (same-JVM back-to-back runs showed 10× noise from GC/JIT state carried
   * between SparkContexts). Reports files/sec at both levels and
-  * eff = (T_8 / T_32) / (32/8) into `BENCH/BASELINE.md`.
+  * eff = (T_N / T_4N) / 4 into `BENCH/BASELINE.md`.
+  *
+  * Campaign protocol (round-3: the headline is the MEDIAN of interleaved
+  * pairs, not a best pair): alternate `run N` / `run 4N` / `control N` /
+  * `control 4N` three times — every `run`/`control` APPENDS to a history
+  * file — then `report N 4N` pairs the i-th runs chronologically, computes
+  * each pair's efficiency, and publishes the median. The `control` job is
+  * pure CPU (no I/O, no shuffle): its pair efficiency measures the HOST's
+  * concurrent 2→8 scaling ceiling in the same minutes as the engine pair,
+  * so engine numbers can be read against what the shared box allowed.
   *
   * Usage (each line a separate JVM):
   *   runMain graft.ScalingBench gen <nRepos> <filesPerRepo>
+  *   runMain graft.ScalingBench run 2        (×3, alternating with:)
   *   runMain graft.ScalingBench run 8
-  *   runMain graft.ScalingBench run 32
-  *   runMain graft.ScalingBench report
+  *   runMain graft.ScalingBench control 2
+  *   runMain graft.ScalingBench control 8
+  *   runMain graft.ScalingBench report 2 8
   */
 object ScalingBench {
 
   val CorpusPath = "/tmp/graft-scaling-corpus"
   private def resultPath(cores: Int) = s"/tmp/graft-scaling-t$cores.txt"
+  private def histPath(kind: String, cores: Int) =
+    s"/tmp/graft-scaling-hist-$kind-$cores.txt"
+
+  private def appendHist(kind: String, cores: Int, line: String): Unit = {
+    val p = java.nio.file.Paths.get(histPath(kind, cores))
+    java.nio.file.Files.writeString(p, line + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  private def readHist(kind: String, cores: Int): Seq[Array[Double]] = {
+    val p = java.nio.file.Paths.get(histPath(kind, cores))
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else java.nio.file.Files.readString(p).linesIterator
+      .filter(_.nonEmpty).map(_.split(" ").map(_.toDouble)).toSeq
+  }
 
   def gen(nRepos: Int, filesPerRepo: Int): Unit = {
     val spark = session(32, "graft-scaling-gen")
@@ -63,61 +90,106 @@ object ScalingBench {
       val t = tDocs + tPost + tDict
       System.err.println(
         f"[scaling] cores=$cores docs=$tDocs%.2fs postings=$tPost%.2fs dict=$tDict%.2fs total=$t%.2fs")
+      val line = f"$t%.4f $tDocs%.4f $tPost%.4f $tDict%.4f"
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(resultPath(cores)),
-        f"$t%.4f $tDocs%.4f $tPost%.4f $tDict%.4f")
+        java.nio.file.Paths.get(resultPath(cores)), line)
+      appendHist("run", cores, line)
+    } finally spark.stop()
+  }
+
+  /** Pure-CPU host-ceiling control: a fixed amount of integer hash work
+    * (no I/O, no shuffle, one narrow stage of 128 tasks — the same task
+    * granularity as the engine runs). The N-vs-4N efficiency of this job
+    * is what the SHARED HOST allows a perfectly parallel workload in the
+    * same minutes; the engine's pair efficiency should be read against it.
+    */
+  def control(cores: Int): Unit = {
+    val spark = session(cores, s"graft-scaling-ctl-$cores")
+    try {
+      import spark.implicits._
+      val work = 6000000000L // ~25 s at 8 busy threads on this box
+      def job(total: Long): Long = spark.range(0, 128, 1, 128).map { i =>
+        var x = i * 2654435761L + 1
+        var acc = 0L
+        var k = 0L
+        val per = total / 128
+        while (k < per) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; k += 1 }
+        acc
+      }.reduce(_ + _)
+      job(work / 16) // untimed JIT/scheduler warm-up
+      val (_, t) = Bench.timed(job(work))
+      System.err.println(f"[scaling-control] cores=$cores t=$t%.2fs")
+      appendHist("control", cores, f"$t%.4f")
     } finally spark.stop()
   }
 
   def report(cN: Int, c4N: Int): Unit = {
     val n = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$CorpusPath.count")).trim.toLong
-    def read(c: Int) = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(resultPath(c))).trim.split(" ").map(_.toDouble)
-    val r8 = read(cN)
-    val r32 = read(c4N)
-    val (t8, t32) = (r8(0), r32(0))
-    val fps8 = n / t8
-    val fps32 = n / t32
-    val eff = (t8 / t32) / (c4N.toDouble / cN)
+    val rN = readHist("run", cN)
+    val r4N = readHist("run", c4N)
+    require(rN.nonEmpty && r4N.nonEmpty,
+      s"no run history for cores $cN/$c4N — run the campaign first")
+    val pairs = rN.zip(r4N) // chronological pairing (interleaved campaign)
+    def eff(tn: Double, t4: Double) = (tn / t4) / (c4N.toDouble / cN)
+    val effs = pairs.map { case (a, b) => eff(a(0), b(0)) }
+    val median = effs.sorted.apply(effs.size / 2)
+    val ctl = readHist("control", cN).zip(readHist("control", c4N))
+      .map { case (a, b) => eff(a(0), b(0)) }
+    val ctlMedian =
+      if (ctl.isEmpty) Double.NaN else ctl.sorted.apply(ctl.size / 2)
+    // representative pair for absolute numbers: the median-eff pair
+    val repIdx = effs.indexOf(effs.sorted.apply(effs.size / 2))
+    val (repN, rep4N) = pairs(repIdx)
+    val fpsN = n / repN(0)
+    val fps4N = n / rep4N(0)
     val json =
-      s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio",""" +
-      s""""files":$n,"cores_n":$cN,"cores_4n":$c4N,""" +
-      s""""t_n_sec":${f"$t8%.2f"},"t_4n_sec":${f"$t32%.2f"},""" +
-      s""""files_per_sec_n":${f"$fps8%.1f"},"files_per_sec_4n":${f"$fps32%.1f"}}"""
+      s"""{"metric":"scaling_efficiency","value":${f"$median%.3f"},"unit":"ratio",""" +
+      s""""protocol":"median of ${effs.size} interleaved pairs","files":$n,""" +
+      s""""cores_n":$cN,"cores_4n":$c4N,""" +
+      s""""t_n_sec":${f"${repN(0)}%.2f"},"t_4n_sec":${f"${rep4N(0)}%.2f"},""" +
+      s""""files_per_sec_n":${f"$fpsN%.1f"},"files_per_sec_4n":${f"$fps4N%.1f"},""" +
+      s""""pair_effs":[${effs.map(e => f"$e%.3f").mkString(",")}],""" +
+      s""""host_control_median":${if (ctlMedian.isNaN) "null" else f"$ctlMedian%.3f"}}"""
     println(json)
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val ce = if (i < ctl.size) f"${ctl(i)}%.3f" else "—"
+      f"| ${i + 1} | ${a(0)}%.2f | ${b(0)}%.2f | ${eff(a(0), b(0))}%.3f | $ce |"
+    }.mkString("\n")
     val md =
-      s"""## Measured scaling (ScalingBench, synthetic corpus seed=42, $n files)
+      s"""## Measured scaling (ScalingBench campaign, synthetic corpus seed=42, $n files)
          |
-         |One JVM per measurement (`sbt "runMain graft.ScalingBench run <cores>"`),
-         |identical parquet input, fixed seed.
+         |Protocol: `run $cN` / `run $c4N` / `control $cN` / `control $c4N`
+         |repeated ${effs.size}× in strict alternation, ONE JVM per
+         |measurement, identical parquet input, page cache pre-warmed with a
+         |full untimed corpus read before every timed build. The headline is
+         |the MEDIAN pair efficiency of the campaign — not a selected pair.
+         |The control column is a pure-CPU job (no I/O, no shuffle, same
+         |128-task granularity) measuring what the shared host allowed a
+         |perfectly parallel workload in the same minutes.
          |
-         || parallelism | wall s | docs s | postings s | dict s | files/sec |
-         ||---|---|---|---|---|---|
-         || local[$cN]  (N)  | ${f"$t8%.2f"} | ${f"${r8(1)}%.2f"} | ${f"${r8(2)}%.2f"} | ${f"${r8(3)}%.2f"} | ${f"$fps8%.1f"} |
-         || local[$c4N] (4N) | ${f"$t32%.2f"} | ${f"${r32(1)}%.2f"} | ${f"${r32(2)}%.2f"} | ${f"${r32(3)}%.2f"} | ${f"$fps32%.1f"} |
+         || pair | engine t_N s | engine t_4N s | engine eff | host-control eff |
+         ||---|---|---|---|---|
+         |$rows
          |
-         |scaling efficiency (N→4N) = (T_N / T_4N) / 4 = **${f"$eff%.3f"}**
-         |(target ≥ 0.8, BASELINE.json north_rule; rank-identity of query
+         |**campaign median scaling efficiency (N→4N) = ${f"$median%.3f"}**
+         |(target ≥ 0.8, BASELINE.json north_rule; host pure-CPU control
+         |median in the same windows: ${if (ctlMedian.isNaN) "n/a" else f"$ctlMedian%.3f"} —
+         |the engine cannot exceed the host ceiling). Rank identity of query
          |results across parallelism is enforced separately by EngineSpec
-         |"parallelism invariance")
+         |("parallelism invariance").
          |
          |Timed stages are the file-index pipeline (docs/postings/dict —
          |the north-rule throughput object). The auxiliary repo-name
          |sub-index is O(#repos) ≪ O(#files) work and is included in
          |`graft.Bench`'s `index_build` timing instead.
          |
-         |Pair choice (2→8 cores): host calibration shows this box gives
-         |only ~2.8× pure-CPU speedup from 8→32 threads (shared vCPUs),
-         |so 8→32 cannot evidence the engine; 2→8 is the honest N→4N pair
-         |(pure-CPU calibration ceiling for 2→8 is ~3.7× = 0.93).
-         |
-         |Measurement protocol: one back-to-back pair, each level in its
-         |own JVM, page cache pre-warmed with a full untimed corpus read
-         |(cold-file I/O otherwise lands asymmetrically on whichever level
-         |runs first). The host's shared vCPUs still swing individual runs
-         |±10-15%; repeated pairs during round 2 ranged 0.71–0.86 with the
-         |reported pair produced by this protocol.
+         |Pair choice ($cN→$c4N cores): host calibration shows this box
+         |gives only ~2.8× pure-CPU speedup from 8→32 threads (shared
+         |vCPUs), so 8→32 cannot evidence the engine; 2→8 is the honest
+         |N→4N pair. Round-2 history for context: six non-interleaved pairs
+         |ranged 0.71–0.86 (median 0.79) with all spread in t_N, tracking a
+         |concurrently measured 2.7–3.7× host ceiling swing.
          |""".stripMargin
     new java.io.File("BENCH").mkdirs()
     java.nio.file.Files.writeString(
@@ -149,10 +221,11 @@ object ScalingBench {
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: nr :: fpr :: Nil => gen(nr.toInt, fpr.toInt)
     case "run" :: cores :: Nil => run(cores.toInt)
+    case "control" :: cores :: Nil => control(cores.toInt)
     case "report" :: Nil => report(8, 32)
     case "report" :: a :: b :: Nil => report(a.toInt, b.toInt)
     case _ =>
       System.err.println(
-        "usage: gen <nRepos> <filesPerRepo> | run <cores> | report")
+        "usage: gen <nRepos> <filesPerRepo> | run <cores> | control <cores> | report [N 4N]")
   }
 }

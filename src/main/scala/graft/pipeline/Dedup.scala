@@ -148,6 +148,73 @@ object Dedup {
     labels
   }
 
+  /** Connected components by ALTERNATING large-star / small-star rounds
+    * (the MapReduce CC alternating algorithm, Kiveris et al. 2014) — the
+    * adversarial-graph variant of duplicateClusters: min-label propagation
+    * carries the full edge list through every round and needs rounds
+    * proportional to log(diameter) WITH the pointer jump, while star
+    * rounds monotonically rewire edges toward each component's minimum
+    * and converge in O(log n) rounds on ANY graph shape, including the
+    * long chains that near-dup graphs degrade to under transitive
+    * boilerplate overlap. Same output contract as duplicateClusters
+    * (doc_id → component-min cluster_id; every node of the input edge
+    * set emitted, singletons absent by definition).
+    *
+    *   large-star: every node points its LARGER neighbors at the minimum
+    *               of its closed neighborhood;
+    *   small-star: every node rewires its smaller-or-equal neighbors
+    *               (and itself) to that minimum.
+    *
+    * Each round is two grouped aggregations + joins — one shuffle family,
+    * no driver data; localCheckpoint truncates lineage per round.
+    */
+  def duplicateClustersStars(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val allNodes = pairs
+      .select(col("doc_id_a").as("doc_id"))
+      .union(pairs.select(col("doc_id_b").as("doc_id")))
+      .distinct()
+      .localCheckpoint()
+    def closedMin(e: DataFrame): DataFrame =
+      e.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+    // large-star reads the SYMMETRIC neighborhood (an edge participates
+    // from both endpoints) and emits directed larger→smaller edges;
+    // small-star then rewires each node's ≤-neighbors (and itself) to its
+    // closed-neighborhood minimum. Both preserve connectivity.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = closedMin(sym)
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = closedMin(e)
+      e.join(m, "u").filter(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    var edges = pairs.select(col("doc_id_a").as("u"), col("doc_id_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      changed = next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() +
+        edges.join(next, Seq("u", "v"), "left_anti").limit(1).count()
+      edges = next
+      iter += 1
+    }
+    // converged edge set = rooted stars (node → component min); roots map
+    // to themselves
+    allNodes
+      .join(edges.select(col("u").as("doc_id"), col("v")), Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(min(coalesce(col("v"), col("doc_id"))).as("cluster_id"))
+  }
+
   /** 16-bit SimHash over word frequencies: bit b of charHash(w) votes
     * +tf/−tf; simhash bit b = 1 iff the vote sum is positive.
     */

@@ -36,6 +36,28 @@ class EntrySpec extends AnyFunSuite {
     assert(gotChain == (1L to 9L).map(_ -> 1L).toMap)
   }
 
+  test("duplicateClustersStars == duplicateClusters (alternating large/small-star)") {
+    import spark.implicits._
+    def clusters(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // adversarial long chain (the shape star rounds exist for) + a clique
+    // + an isolated pair + a star
+    val pairs = ((1L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (101L, 102L), (200L, 201L),
+        (300L, 301L), (300L, 302L), (300L, 303L)))
+      .toDF("doc_id_a", "doc_id_b")
+    val want = clusters(graft.pipeline.Dedup.duplicateClusters(pairs))
+    val got = clusters(graft.pipeline.Dedup.duplicateClustersStars(pairs))
+    assert(got == want)
+    // and on real LSH star edges from a corpus with duplicates
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"shared boilerplate text block ${i % 5}"))
+      .toDF("doc_id", "text")
+    val edges = graft.pipeline.Dedup.minhashStarEdges(docs)
+    assert(clusters(graft.pipeline.Dedup.duplicateClustersStars(edges)) ==
+      clusters(graft.pipeline.Dedup.duplicateClusters(edges)))
+  }
+
   test("chunks: deterministic token-budget boundaries with overlap (chunk.rs analog)") {
     import spark.implicits._
     val docs = Seq(
