@@ -94,6 +94,9 @@ object SparkEntry {
       // clique pairs — the oracle computes them from the cliques)
       Dedup.duplicateClusters(Dedup.minhashStarEdges(docs(s, d)))),
     "q_jaccard_pairs" -> ((s, d) => Dedup.jaccardConsecutive(docs(s, d))),
+    "q_jaccard_lsh" -> ((s, d) => // LSH candidates + exact-Jaccard verify —
+      // the production near-dup path (bucketed candidates, true similarity)
+      Dedup.jaccardVerifiedPairs(docs(s, d), threshold = 0.5)),
     // ---- text analysis
     "q_chunks" -> ((s, d) => // token-budget chunking w/ overlap (chunk.rs
       // analog; small budget so the small-SF docs split into several
@@ -106,6 +109,9 @@ object SparkEntry {
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(emb(s, d), 0L, 20)),
     "q_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupConsecutive(emb(s, d), 0.15)),
+    "q_cosine_neardup_lsh" -> ((s, d) => // LSH-bucketed candidates + exact
+      // cosine verify — embedding near-dup at scale (no all-pairs)
+      Similarity.cosineNearDupLsh(emb(s, d), 0.15)),
     // ---- join zoo on the TPC-H-ish tables (B2/B3 semi/anti analogs)
     "q_semi_join" -> ((s, d) => {
       val o = s.read.parquet(s"$d/orders.parquet")
@@ -427,10 +433,11 @@ object SparkEntry {
       "q_filter_indexable" ->
         "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars <= 300 AND lang IN ('en','de')",
       "q_token_count" ->
-        """SELECT doc_id, count(*) AS n_words,
-          |  CAST(ceil(any_value(n_chars)/4.0) AS BIGINT) AS n_bpe_est
-          |FROM (SELECT doc_id, n_chars, unnest(string_split(text,' ')) AS w FROM documents)
-          |WHERE w <> '' GROUP BY doc_id""".stripMargin,
+        s"""SELECT doc_id, count(*) AS n_words,
+           |  CAST(ceil(any_value(n_chars)/4.0) AS BIGINT) AS n_bpe_est,
+           |  CAST(any_value(len(regexp_extract_all(text, '${TextOps.BpeTokenRegex}', 0))) AS BIGINT) AS n_bpe_regex
+           |FROM (SELECT doc_id, n_chars, text, unnest(string_split(text,' ')) AS w FROM documents)
+           |WHERE w <> '' GROUP BY doc_id""".stripMargin,
       "q_term_df" ->
         s"SELECT w AS term, count(DISTINCT doc_id) AS df FROM ($words) GROUP BY w",
       "q_bm25_topk" -> bm25OracleSql("merge", "join", 50),
@@ -502,6 +509,27 @@ object SparkEntry {
            |FROM inter
            |JOIN sizes na ON na.doc_id = doc_id_a
            |JOIN sizes nb ON nb.doc_id = doc_id_a + 1""".stripMargin,
+      "q_jaccard_lsh" ->
+        s"""WITH wh AS (SELECT DISTINCT doc_id, ${charHash("w")} AS wh FROM ($words)),
+           |mh AS (SELECT doc_id, seed, min(((2*seed+1)*wh + (1000003*seed+12345)) % 1000000007) AS minhash
+           |       FROM wh CROSS JOIN (SELECT unnest(range(0,12)) AS seed) GROUP BY doc_id, seed),
+           |bands AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+           |            string_agg(minhash, ',' ORDER BY seed) AS sig
+           |          FROM mh GROUP BY doc_id, seed // 3),
+           |pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+           |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+           |            AND a.doc_id < b.doc_id),
+           |ws AS (SELECT DISTINCT doc_id, w FROM ($words)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM ws GROUP BY doc_id),
+           |inter AS (SELECT p.doc_id_a, p.doc_id_b, count(*) AS n_inter
+           |          FROM pairs p JOIN ws a ON a.doc_id = p.doc_id_a
+           |                       JOIN ws b ON b.doc_id = p.doc_id_b AND b.w = a.w
+           |          GROUP BY p.doc_id_a, p.doc_id_b),
+           |j AS (SELECT i.doc_id_a, i.doc_id_b,
+           |        round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) AS jaccard
+           |      FROM inter i JOIN sizes na ON na.doc_id = i.doc_id_a
+           |                   JOIN sizes nb ON nb.doc_id = i.doc_id_b)
+           |SELECT doc_id_a, doc_id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
       "q_chunks" -> // mirror of TextOps.chunks(budget=16, overlap=4):
         // stride 12, chunk i = toks[i*12+1 .. i*12+16] (1-based inclusive)
         """WITH t AS (SELECT doc_id,
@@ -540,6 +568,23 @@ object SparkEntry {
           |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
           |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
           |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.15""".stripMargin,
+      "q_cosine_neardup_lsh" -> // lshBuckets(numPlanes=6) pair join +
+        // exact cosine ≥ 0.15 (mirrors cosineNearDupLsh)
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          |dims AS (SELECT vec_id, d, emb[CAST(d AS INT)+1] AS x
+          |         FROM e CROSS JOIN (SELECT unnest(range(0,64)) AS d)),
+          |proj AS (SELECT vec_id, h,
+          |           sum(CAST(floor(x*10000) AS BIGINT) *
+          |               (((d*2654435761 + h*40503) % 97 % 2)*2 - 1)) AS pr
+          |         FROM dims CROSS JOIN (SELECT unnest(range(0,6)) AS h)
+          |         GROUP BY vec_id, h),
+          |b AS (SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN CAST(pow(2,h) AS BIGINT)
+          |        ELSE 0 END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id),
+          |wb AS (SELECT e.vec_id, b.bucket, e.emb FROM e JOIN b USING (vec_id)),
+          |j AS (SELECT a.vec_id AS vec_id_a, c.vec_id AS vec_id_b,
+          |        round(list_cosine_similarity(a.emb, c.emb), 4) AS cos
+          |      FROM wb a JOIN wb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+          |SELECT vec_id_a, vec_id_b, cos FROM j WHERE cos >= 0.15""".stripMargin,
       "q_semi_join" ->
         """SELECT o_orderkey, o_orderstatus FROM orders
           |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)""".stripMargin,

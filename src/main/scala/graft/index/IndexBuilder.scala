@@ -68,7 +68,12 @@ class IndexBuilder(
       * main index: a content 1-gram posting at 10^12 docs is df≈N per byte
       * and nothing reads it (word terms are indexed whole).
       */
-    shortContentGrams: Boolean = false) {
+    shortContentGrams: Boolean = false,
+    /** Per-partition lineage rows (D8 worker stats). Off for the nested
+      * repo-name sub-index, where the two lineage-append jobs are pure
+      * fixed cost against an O(#repos) input.
+      */
+    recordLineage: Boolean = true) {
 
   import spark.implicits._
   import IndexBuilder._
@@ -123,12 +128,14 @@ class IndexBuilder(
       .select($"bucket", $"docKey", $"repo", $"path", $"commit", $"lang",
         $"content", $"contentSha", $"branch")
       .as[KeyedRow]
-    val counts = keyed.groupBy("bucket").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = new Array[Long](p + 1)
-    var acc = 0L
-    (0 until p).foreach { b =>
-      offsets(b) = acc; acc += counts.getOrElse(b, 0L)
+    if (p > 1) { // p == 1: one bucket at offset 0 — the count job is pure cost
+      val counts = keyed.groupBy("bucket").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      var acc = 0L
+      (0 until p).foreach { b =>
+        offsets(b) = acc; acc += counts.getOrElse(b, 0L)
+      }
     }
     val bOffsets = spark.sparkContext.broadcast(offsets)
     val idOffset = docIdOffset // delta generations start past the base
@@ -176,14 +183,19 @@ class IndexBuilder(
       instrument[Doc]("docs", lin)(it.map(buildDoc))(
         d => s"${d.docId}:${d.contentSha}")
     }
-    docs.write.mode("overwrite").parquet(docsPath)
+    // Corpus stats ride the write job via Observation — fusing the
+    // aggregation into the write saves a full re-scan of the just-written
+    // docs parquet (one fewer data-proportional job per build).
+    val obs = org.apache.spark.sql.Observation()
+    docs
+      .observe(obs,
+        sum(when($"indexed", 1L).otherwise(0L)).as("n"),
+        sum(when($"indexed", $"docLen").otherwise(0L)).as("t"))
+      .write.mode("overwrite").parquet(docsPath)
     writeLineage(lin)
-    val st = spark.read.parquet(docsPath)
-      .filter($"indexed")
-      .agg(count("*").as("n"), coalesce(sum($"docLen"), lit(0L)).as("t"))
-      .head()
-    val n = st.getLong(0)
-    val t = st.getLong(1)
+    val row = obs.get
+    val n = Option(row("n")).fold(0L)(_.asInstanceOf[Long])
+    val t = Option(row("t")).fold(0L)(_.asInstanceOf[Long])
     val stats = IndexStats(n, t, if (n == 0) 0.0 else t.toDouble / n,
       bucketSize)
     Seq(stats).toDS().coalesce(1).write.mode("overwrite").parquet(statsPath)
@@ -374,7 +386,7 @@ class IndexBuilder(
   private def writeLineage(acc: CollectionAccumulator[LineageRow]): Unit = {
     import scala.jdk.CollectionConverters._
     val rows = acc.value.asScala.toSeq
-    if (rows.nonEmpty)
+    if (recordLineage && rows.nonEmpty)
       rows.toDS().coalesce(1).write.mode("append").parquet(lineagePath)
   }
 }
@@ -419,7 +431,8 @@ object IndexBuilder {
         names.count() / 5000L + 1L)).toInt
       new IndexBuilder(spark, rootDir, bucketSize, includeTrigrams,
         numPartitions = p, docIdOffset = 0L, includeRepoIndex = false,
-        shortContentGrams = true) // names get the full 1–3-gram surface
+        shortContentGrams = true, // names get the full 1–3-gram surface
+        recordLineage = false)
         .build(names)
     } finally names.unpersist()
   }

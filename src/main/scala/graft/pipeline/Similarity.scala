@@ -53,6 +53,28 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Embedding near-dup PAIRS at scale: candidate pairs from shared LSH
+    * buckets (one sign-bucket per vector — numPlanes hyperplane bits),
+    * verified with EXACT cosine ≥ threshold. The bucket equijoin bounds
+    * candidate work at Σ bucket²/2 ≪ N²/2 and is one shuffle on the bucket
+    * id; cosineNearDupConsecutive demonstrates the measure, this is the
+    * production composition (same two-tier candidates→verify shape as
+    * Dedup.jaccardVerifiedPairs). Output (vec_id_a, vec_id_b, cos).
+    */
+  def cosineNearDupLsh(embeddings: DataFrame, threshold: Double,
+                       numPlanes: Int = 6): DataFrame = {
+    val withB = embeddings.join(lshBuckets(embeddings, numPlanes), "vec_id")
+    val l = withB.select(col("bucket"), col("vec_id").as("vec_id_a"),
+      col("embedding").as("ea"))
+    val r = withB.select(col("bucket"), col("vec_id").as("vec_id_b"),
+      col("embedding").as("eb"))
+    l.join(r, "bucket")
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .select(col("vec_id_a"), col("vec_id_b"),
+        round(cosine(col("ea"), col("eb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane h, dim d):
     * a fixed integer hash mapped to ±1 — reproducible on any engine, no RNG.
     */

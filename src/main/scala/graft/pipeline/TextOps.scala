@@ -37,14 +37,24 @@ object TextOps {
 
   // ------------------------------------------------------------ operators
 
-  /** Token counting: whitespace tokens + a BPE-ish sub-token estimate
-    * (ceil(chars/4) — the common ~4-chars-per-token heuristic).
+  /** GPT-2-style pre-tokenizer regex, restricted to constructs whose
+    * semantics are identical in Java regex (Spark) and RE2 (DuckDB):
+    * a token is an optional leading space + a letter run, digit run, or
+    * punctuation run; bare whitespace runs also count (as BPE merges do).
+    */
+  val BpeTokenRegex = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** Token counting: whitespace tokens, the ~4-chars-per-token heuristic,
+    * and a real BPE-ish pre-tokenizer count (regex sub-token split — the
+    * piece a training pipeline budgets sequence lengths with).
     */
   def tokenCounts(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       size(words(col("text"))).cast("long").as("n_words"),
-      ceil(col("n_chars") / 4.0).cast("long").as("n_bpe_est"))
+      ceil(col("n_chars") / 4.0).cast("long").as("n_bpe_est"),
+      size(expr(s"regexp_extract_all(text, '$BpeTokenRegex', 0)"))
+        .cast("long").as("n_bpe_regex"))
       .filter(col("n_words") > 0) // grouped SQL oracle has no zero-word rows
 
   /** Per-term document frequency — the dict-build analog (SURVEY §2.1 S7 /

@@ -58,6 +58,64 @@ class EntrySpec extends AnyFunSuite {
       clusters(graft.pipeline.Dedup.duplicateClusters(edges)))
   }
 
+  test("jaccardVerifiedPairs: LSH candidates carry exact Jaccard, thresholded") {
+    import spark.implicits._
+    // 1↔2: identical word SETS (different order + a repeat) ⇒ identical
+    // minhash signatures ⇒ guaranteed same buckets, exact Jaccard 1.0;
+    // 3: superset of 1 with heavy dilution (Jaccard 6/12 = 0.5 vs doc 1);
+    // 4: disjoint vocabulary (never a candidate)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "zeta epsilon delta gamma beta alpha alpha"),
+      (3L, "alpha beta gamma delta epsilon zeta d1 d2 d3 d4 d5 d6"),
+      (4L, "completely different vocabulary here entirely"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Dedup
+      .jaccardVerifiedPairs(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+    // verified pairs are always a subset of the LSH candidates, and the
+    // disjoint doc never pairs at any threshold
+    val all = graft.pipeline.Dedup
+      .jaccardVerifiedPairs(docs, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = graft.pipeline.Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.subsetOf(cand))
+    assert(all.forall { case (a, b) => a != 4L && b != 4L })
+  }
+
+  test("cosineNearDupLsh: bucketed pairs == brute-force pairs above threshold ∩ same-bucket") {
+    import spark.implicits._
+    // deterministic small embedding set: near-dup pairs are scaled copies
+    // (cosine 1.0), plus unrelated axes
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(d => (((seed * 31 + d * 17) % 7) - 3).toFloat)
+    // seeds 1,2,4,5 give distinct 3·seed mod 7 phases (seed 9 would alias
+    // seed 2 and silently create extra direction-dup pairs)
+    val rows = Seq(
+      0L -> vec(1), 1L -> vec(1).map(_ * 2f), // exact direction dup
+      2L -> vec(2), 3L -> vec(2).map(_ * 0.5f),
+      4L -> vec(4), 5L -> vec(5))
+    val embs = rows.toDF("vec_id", "embedding")
+    val got = graft.pipeline.Similarity.cosineNearDupLsh(embs, 0.999, numPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)) && got.contains((2L, 3L)))
+    // scaled copies share every hyperplane sign, so the bucket join can
+    // never split a direction-identical pair: got is exactly the cos≥.999
+    // brute pairs that share a bucket — and for these fixtures that is all
+    assert(got == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("tokenCounts: BPE-ish regex sub-token count (n_bpe_regex)") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world42 foo.bar", 21L))
+      .toDF("doc_id", "text", "n_chars")
+    val r = graft.pipeline.TextOps.tokenCounts(docs).collect().head
+    // tokens: "hello"," world","42"," foo",".","bar" → 6
+    assert(r.getLong(3) == 6L)
+  }
+
   test("chunks: deterministic token-budget boundaries with overlap (chunk.rs analog)") {
     import spark.implicits._
     val docs = Seq(

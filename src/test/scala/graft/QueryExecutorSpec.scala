@@ -332,6 +332,13 @@ class QueryExecutorSpec extends AnyFunSuite {
     assert(o.nonEmpty && o.forall(x =>
       Set("dir", "file-entry")(x.getString(0))))
     intercept[IllegalArgumentException](exec.executeAny("branch:dev", 5))
+    // mixed OR where only a NON-head branch is open-routed: executeOpen
+    // must select the open branch, not parse(input).head (round-2 ADVICE —
+    // the reference's OpenReader runs over all queries, query/execute.rs)
+    val mixed = exec
+      .executeOpen("lang:rust parse or open:true repo:repo1 path:src/")
+      .collect()
+    assert(mixed.nonEmpty && mixed.forall(_.getString(0).contains("repo1")))
   }
 
   test("open:/listDir: immediate children of a path prefix (D6)") {
