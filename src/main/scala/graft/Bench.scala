@@ -136,6 +136,20 @@ object Bench {
       Dedup.duplicateClusters(Dedup.minhashStarEdges(docs)).count())
     results += "dedup_clusters" -> tCc
 
+    // --- incremental maintenance: two delta ingests then the tiered merge
+    // (docIds preserved; cost is Σ|deltas|, not |corpus| — timed alone)
+    val incRoot = freshDir("/tmp/graft-bench-inc")
+    val inc = new graft.index.IncrementalIndexer(spark, incRoot,
+      bucketSize = 1024)
+    inc.ingest(graft.corpus.CorpusGen.synth(spark, 10, 200, seed = 7L))
+    inc.ingest(graft.corpus.CorpusGen.synth(spark, 10, 200, seed = 8L)
+      .withColumn("repo",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("m-"),
+          org.apache.spark.sql.functions.col("repo"))))
+    val (_, tMerge) = timed(inc.mergeDeltas())
+    results += "delta_merge_4k" -> tMerge
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.values.sum

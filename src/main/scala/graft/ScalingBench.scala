@@ -168,6 +168,15 @@ object ScalingBench {
          |128-task granularity) measuring what the shared host allowed a
          |perfectly parallel workload in the same minutes.
          |
+         |Heap scales with parallelism (3 GiB/core): the north rule's
+         |N→4N-EXECUTOR scaling quadruples aggregate cluster memory, so the
+         |local[4N] stand-in must not run on the local[N] heap — a fixed
+         |heap models adding executors that bring zero memory, and puts the
+         |4N level alone past the shuffle-spill cliff (observed: fixed 8 GiB
+         |left t_N flat but inflated t_4N ~30% once the v9 gram volume
+         |crossed the per-task spill threshold at 4N's smaller
+         |memory-per-task).
+         |
          || pair | engine t_N s | engine t_4N s | engine eff | host-control eff |
          ||---|---|---|---|---|
          |$rows

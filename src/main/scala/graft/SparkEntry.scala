@@ -261,15 +261,21 @@ object SparkEntry {
         "first_snippet")
     }),
     "e_incremental" -> ((s, d) => {
-      // base on the first half, ingest the second, delete one source repo,
-      // search across generations with tombstone-aware WAND (D2 + S8)
+      // base on the first half, ingest the second in TWO delta batches,
+      // delete one source repo, fold the deltas with the tiered merge
+      // (docIds preserved — the oracle row is unchanged by construction),
+      // then search across generations with tombstone-aware WAND
+      // (D2 + S8 + the LSM maintenance path)
       val all = corpusFromDocuments(s, d)
       val root = s"/tmp/graft-inc-${d.replaceAll("[^a-zA-Z0-9.]", "_")}"
       Bench.freshDir(root)
       val inc = new graft.index.IncrementalIndexer(s, root, bucketSize = 1024)
       inc.buildBase(all.filter(col("path") < lit("doc/3")))
-      inc.ingest(all.filter(col("path") >= lit("doc/3")))
+      inc.ingest(all.filter(col("path") >= lit("doc/3") &&
+        col("path") < lit("doc/6")))
+      inc.ingest(all.filter(col("path") >= lit("doc/6")))
       inc.deleteRepo("src0")
+      inc.mergeDeltas()
       val ms = inc.searcher()
       ms.materialize(ms.search(ms.queryTerms("merge join"), AllK,
         conjunctive = true, useWand = true))

@@ -48,6 +48,7 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     */
   def generations(): Seq[String] = {
     finishCompaction()
+    finishMerge()
     val base = new java.io.File(basePath)
     val deltas = (1 to deltaCount()).map(deltaPath)
     (if (new java.io.File(base, "docs/_SUCCESS").exists()) Seq(base.getPath)
@@ -281,6 +282,107 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(compactMarker), "base-new is authoritative")
     finishCompaction()
+  }
+
+  /** Size-tiered delta MERGE — the LSM-style maintenance step between full
+    * compactions: folds ALL current delta generations into ONE merged delta
+    * with docIds PRESERVED, so query results (docIds AND scores) are
+    * bit-identical before and after (IncrementalSpec asserts this). Unlike
+    * compact() it never touches the base generation, never re-tokenizes,
+    * and keeps tombstones/stats exactly as they were — its cost is
+    * Σ|deltas|, not |corpus|, which is what keeps a 10^12-file index's
+    * generation count bounded (MultiSearcher unions one parquet dir per
+    * generation; an ingest-heavy root would otherwise grow that union
+    * without bound until a full — corpus-proportional — compact()).
+    *
+    * Why ids can be preserved: generations own disjoint, ascending docId
+    * ranges (each delta's offset is past every existing id), and codec
+    * blocks delta-decode from zero (PostingCodec), so a merged
+    * (term,bucket) run is just the generations' runs' blocks concatenated
+    * in firstDocId order with df/cf summed and maxTfNorm maxed — no
+    * re-encode, no re-tokenize. The same concatenation argument is why
+    * tantivy segment merges can stream postings (the reference's
+    * IndexWriter merge, indexes.rs:205-215).
+    */
+  def mergeDeltas(): Unit = mergeDeltas(crashBeforeSwap = false)
+
+  /** Test face: `crashBeforeSwap` stops at the commit point (marker
+    * written, swap not run) — the crash window generations() must recover.
+    */
+  private[graft] def mergeDeltas(crashBeforeSwap: Boolean): Unit = {
+    finishCompaction()
+    finishMerge()
+    val n = deltaCount()
+    if (n < 2) return
+    val gens = (1 to n).map(deltaPath)
+    rmDir(mergedPath)
+    // docs and lineage: plain unions — ids preserved
+    spark.read.parquet(gens.map(g => s"$g/docs"): _*)
+      .write.parquet(s"$mergedPath/docs")
+    val linDirs = gens.map(g => s"$g/lineage")
+      .filter(p => new java.io.File(p).exists())
+    if (linDirs.nonEmpty)
+      spark.read.parquet(linDirs: _*).write.parquet(s"$mergedPath/lineage")
+    spark.read.parquet(gens.map(g => s"$g/postings"): _*).as[PostingRun]
+      .groupByKey(r => (r.term, r.bucket))
+      .mapGroups { (key: (String, Int), it: Iterator[PostingRun]) =>
+        val rs = it.toArray.sortBy(
+          _.blocks.headOption.map(_.firstDocId).getOrElse(Long.MaxValue))
+        PostingRun(key._1, key._2, rs.map(_.df).sum, rs.map(_.cf).sum,
+          rs.map(_.maxTfNorm).max, rs.iterator.flatMap(_.blocks).toVector)
+      }
+      .sortWithinPartitions($"term") // keep the sorted-by-term write
+      // property the row-group min/max pruning relies on (PlanSpec)
+      .write.parquet(s"$mergedPath/postings")
+    spark.read.parquet(s"$mergedPath/postings")
+      .groupBy($"term")
+      .agg(sum($"df").as("df"), sum($"cf").as("cf"),
+        max($"maxTfNorm").as("maxTfNorm"))
+      .as[DictEntry]
+      .write.parquet(s"$mergedPath/dict")
+    // stats: exact sums — deleted docs keep contributing until compact(),
+    // exactly as MultiSearcher aggregates the per-generation rows today
+    val parts = gens.map(g =>
+      spark.read.parquet(s"$g/stats").as[IndexStats].head())
+    val nn = parts.map(_.n).sum
+    val t = parts.map(_.totalTokens).sum
+    Seq(IndexStats(nn, t, if (nn == 0) 0.0 else t.toDouble / nn, bucketSize))
+      .toDS().coalesce(1).write.parquet(s"$mergedPath/stats")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$mergedPath/FORMAT"),
+      IndexBuilder.FormatVersion)
+    // COMMIT POINT: once the marker exists the merged delta is
+    // authoritative; generations() finishes the swap before answering
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(mergeMarker),
+      "delta-merged is authoritative for every delta-N")
+    if (!crashBeforeSwap) finishMerge()
+  }
+
+  private def mergedPath = s"$root/delta-merged"
+  private def mergeMarker = s"$root/MERGING"
+
+  /** Idempotent second half of mergeDeltas(), re-entered from
+    * generations() after a crash past the commit point. Deltas are
+    * enumerated by basename (NOT contiguous counting: a crashed earlier
+    * attempt may already have removed delta-1, which would hide delta-2+
+    * from deltaCount and orphan rows into duplicates); the merged dir is
+    * only renamed while it still exists, so re-running any suffix of the
+    * steps is safe.
+    */
+  private def finishMerge(): Unit = {
+    if (!new java.io.File(mergeMarker).exists()) return
+    if (new java.io.File(s"$mergedPath/docs/_SUCCESS").exists()) {
+      val re = "^delta-(\\d+)$".r
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .foreach(f => f.getName match {
+          case re(_) => rmDir(f.getPath)
+          case _ =>
+        })
+      graft.util.FsUtil.renameOrThrow(mergedPath, deltaPath(1))
+    }
+    // marker without a complete merged dir: the rename already happened on
+    // a previous attempt — only the marker is left to clear
+    new java.io.File(mergeMarker).delete()
   }
 
   private def newBasePath = s"$root/base-new"

@@ -331,6 +331,79 @@ class IncrementalSpec extends AnyFunSuite {
       assert(keyedHits(s, q) == keyedHits(full, q), s"query '$q'")
   }
 
+  test("mergeDeltas: bit-identical results (docIds AND scores), one merged delta") {
+    val root = TestSpark.tempDir("inc-merge")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    // two delta generations + a live tombstone set (update of one doc) —
+    // the full state a merge must carry through unchanged
+    val victim = corpusA.limit(1).collect()(0)
+    val changed = Seq((victim.getString(0), victim.getString(1),
+      victim.getString(2), victim.getString(3),
+      "entirely new mergetokenxyz content\n"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    assert(inc.ingest(changed) == 1L)
+    assert(inc.ingest(corpusB) == corpusB.count())
+    assert(inc.generations().size == 3)
+    // docId-LEVEL snapshot: merge preserves ids, so unlike compact() the
+    // comparison needs no re-keying — exhaustive AND WAND paths
+    def snapshot(s: Searcher): Map[String, Set[(Long, Float)]] =
+      (for {
+        q <- Seq("if", "parse", "mergetokenxyz", "return index")
+        wand <- Seq(false, true)
+      } yield s"$q/wand=$wand" -> s.search(s.queryTerms(q), 1000,
+        conjunctive = true, useWand = wand)
+        .collect().map(h => (h.docId, h.score)).toSet).toMap
+    val msBefore = inc.searcher()
+    val before = snapshot(msBefore)
+    val statsBefore = msBefore.stats
+    inc.mergeDeltas()
+    assert(inc.generations() == Seq(s"$root/base", s"$root/delta-1"))
+    val msAfter = inc.searcher()
+    assert(snapshot(msAfter) == before)
+    assert(msAfter.stats == statsBefore)
+    // the old doc version stays tombstoned (not resurrected by the merge)
+    assert(msAfter.docs
+      .filter(col("repo") === victim.getString(0) &&
+        col("path") === victim.getString(1)).count() == 1)
+    // idempotent: a single remaining delta is a no-op
+    inc.mergeDeltas()
+    assert(inc.generations().size == 2)
+    // and a later ingest lands as delta-2 on top of the merged delta
+    val extra = Seq(("x-repo", "x/path", "c1", "scala",
+      "post merge extratokenabc\n"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    assert(inc.ingest(extra) == 1L)
+    assert(inc.searcher()
+      .search(Seq("extratokenabc"), 10, conjunctive = true, useWand = false)
+      .count() == 1)
+  }
+
+  test("mergeDeltas crash windows: commit-point and mid-swap states both recover") {
+    val root = TestSpark.tempDir("inc-merge-crash")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    inc.ingest(corpusB)
+    inc.ingest(Seq(("c-repo", "c/path", "c1", "scala", "crashtokenqq here\n"))
+      .toDF("repo", "path", "commit", "lang", "content"))
+    val before = keyedHits(inc.searcher(), "if")
+    // crash exactly at the commit point (marker written, swap not run)
+    inc.mergeDeltas(crashBeforeSwap = true)
+    assert(new java.io.File(s"$root/MERGING").exists())
+    // ...and then again mid-swap: delta-1 already removed, delta-2+ not —
+    // the state that would orphan duplicates under contiguous counting
+    graft.util.FsUtil.rmTree(s"$root/delta-1")
+    val inc2 = new IncrementalIndexer(spark, root, bucketSize = 64)
+    assert(inc2.generations() == Seq(s"$root/base", s"$root/delta-1"))
+    assert(!new java.io.File(s"$root/MERGING").exists())
+    assert(!new java.io.File(s"$root/delta-merged").exists())
+    assert(!new java.io.File(s"$root/delta-2").exists())
+    assert(keyedHits(inc2.searcher(), "if") == before)
+    assert(inc2.searcher()
+      .search(Seq("crashtokenqq"), 10, conjunctive = true, useWand = false)
+      .count() == 1)
+  }
+
   test("crashed partial repo-index refresh cannot resume a stale name set") {
     val root = TestSpark.tempDir("inc-repoidx-crash")
     val inc = new IncrementalIndexer(spark, root, bucketSize = 64)

@@ -104,4 +104,19 @@ class PlanSpec extends AnyFunSuite {
     // toString marks codegen stages with a "*(n)" prefix
     assert(planOf(df).contains("*("), planOf(df).take(1500))
   }
+
+  test("near-dup verify ops plan as equijoins — no cartesian product " +
+       "(the all-pairs explosion the LSH bucketing exists to prevent)") {
+    val docs = (1 to 20).map(i => (i.toLong, s"w${i % 4} common text ${i % 3}"))
+      .toDF("doc_id", "text")
+    val jPlan = planOf(graft.pipeline.Dedup.jaccardVerifiedPairs(docs, 0.5))
+    assert(!jPlan.contains("CartesianProduct"), jPlan.take(3000))
+    // the candidate-doc prune is a LeftSemi join in the word-set branch
+    assert(jPlan.contains("LeftSemi"), jPlan.take(3000))
+    val embs = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 17) % 7 - 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cPlan = planOf(graft.pipeline.Similarity.cosineNearDupLsh(embs, 0.5))
+    assert(!cPlan.contains("CartesianProduct"), cPlan.take(3000))
+  }
 }
