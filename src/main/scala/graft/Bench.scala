@@ -119,15 +119,15 @@ object Bench {
     results += "simhash" -> tSim
     val (_, tCos) = timed(Similarity.cosineTopK(embs, 0L, 20).collect())
     results += "cosine_topk" -> tCos
-    val (_, tIvf) = timed(Similarity.ivfTopK(embs, 0L, 10).collect())
+    val (ivfRows, tIvf) = timed(Similarity.ivfTopK(embs, 0L, 10).collect())
     results += "ivf_topk" -> tIvf
 
     // ANN recall@10 vs the brute-force scan (k-means-refined IVF and
-    // multi-probe LSH) — quality alongside the latency numbers
+    // multi-probe LSH) — quality alongside the latency numbers; the IVF
+    // rows come from the timed run above (no retraining just for recall)
     val brute10 = Similarity.cosineTopK(embs, 0L, 10).collect()
       .map(_.getLong(0)).toSet
-    val ivf10 = Similarity.ivfTopK(embs, 0L, 10).collect()
-      .map(_.getLong(0)).toSet
+    val ivf10 = ivfRows.map(_.getLong(0)).toSet
     val lsh10 = Similarity.lshTopK(embs, 0L, 10).collect()
       .map(_.getLong(0)).toSet
     results += "ivf_recall_at10" -> brute10.intersect(ivf10).size / 10.0
@@ -152,7 +152,14 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = results.values.sum
+    // wall-seconds only, each second counted once: skip the two staged
+    // AGGREGATE keys (their stages are already in the map) and the
+    // dimensionless recall ratios (round-3 review: the old sum
+    // double-counted every build second and added ratios as seconds)
+    val aggregateKeys = Set("index_build", "index_build_synth20k")
+    val total = results.iterator.collect {
+      case (k, v) if !aggregateKeys(k) && !k.endsWith("_recall_at10") => v
+    }.sum
     val fps = nFiles / tBuild
     val fpsSynth = 20000.0 / tSynth
     // latest N→4N scaling evidence, if ScalingBench has produced it

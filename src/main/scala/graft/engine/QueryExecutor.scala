@@ -81,6 +81,16 @@ object QueryExecutor {
     val parts = name.split('/')
     if (parts.length >= 2) parts(parts.length - 2) else ""
   }
+
+  /** Column twin of orgOf. Java's split drops TRAILING empty segments, so
+    * the Spark side strips trailing slashes before splitting — otherwise
+    * "acme/" would read as org "acme" here and org "" in orgOf (round-3
+    * review: engine-vs-oracle parity on degenerate names).
+    */
+  def orgSegOf(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val segs = split(regexp_replace(name, "/+$", ""), "/")
+    when(size(segs) >= 2, element_at(segs, -2)).otherwise(lit(""))
+  }
 }
 
 sealed trait ReaderKind
@@ -152,7 +162,15 @@ class QueryExecutor(searcher: Searcher) {
       and(regexp_like(lower(col(colName)),
         lit("(?i)" + (if (l.isRegex) l.value else
           java.util.regex.Pattern.quote(l.value.toLowerCase)))))
-    b.org.foreach(l => subOrRegex("repo", l))
+    // org: matches the OWNER SEGMENT of the repo name (orgOf), the same
+    // semantics the repo reader gives it — not a substring of the whole
+    // name, which would also hit repos whose basename merely contains the
+    // org string (round-3 review)
+    b.org.foreach { l =>
+      and(regexp_like(lower(QueryExecutor.orgSegOf(col("repo"))),
+        lit("(?i)" + (if (l.isRegex) l.value else
+          java.util.regex.Pattern.quote(l.value.toLowerCase)))))
+    }
     b.repo.foreach(l => subOrRegex("repo", l))
     if (includePath) b.path.foreach(l => subOrRegex("path", l))
     b.branch.foreach(l => subOrRegex("branch", l))
@@ -227,32 +245,41 @@ class QueryExecutor(searcher: Searcher) {
       conjunctive = true)
   }
 
-  /** Highlight pattern for a query's snippets: the first targeted branch
-    * wins (the reference compiles one regex set per query,
-    * snippet.rs:296+). Regex targets keep their pattern; literal targets
-    * highlight each code token (alternation); symbol targets run in
-    * symbol mode. None for untargeted (metadata-only) queries.
+  /** Highlight specs for a query's snippets — one per TARGETED branch
+    * (the reference compiles the query's full regex set, snippet.rs:296+;
+    * a hit produced by any OR branch must highlight under its own
+    * pattern, not just the first branch's). Regex targets keep their
+    * pattern with the branch's case flag. Case-INSENSITIVE literal
+    * targets highlight each code token (alternation; tokens are
+    * lowercased, so the match must be case-insensitive too).
+    * Case-SENSITIVE literal targets highlight the RAW literal: the branch
+    * post-verified its hits against exactly that byte pattern, and a
+    * lowercased token alternation matched case-sensitively would produce
+    * zero snippets on the branch's own hits. Symbol targets run in symbol
+    * mode with token patterns (symbol scoring is case-blind, so the
+    * highlight is too). Empty for untargeted (metadata-only) queries.
     */
-  private def snippetSpec(input: String): Option[(String, Boolean, Boolean)] =
-    QueryParser.parse(input).iterator.flatMap { b =>
+  private def snippetSpecs(input: String): Seq[(String, Boolean, Boolean)] =
+    QueryParser.parse(input).flatMap { b =>
       val caseSens = b.caseSensitive.getOrElse(false)
+      def tokenAlt(l: QLit): Option[String] = {
+        val toks = CodeTokenizer.tokenize(l.value).distinct
+        if (toks.isEmpty) None
+        else Some(toks.map(java.util.regex.Pattern.quote).mkString("|"))
+      }
       b.target match {
         case Some(ContentTarget(l))
             if l.isRegex || b.globalRegex.contains(true) =>
-          Iterator.single((l.value, false, caseSens))
+          Seq((l.value, false, caseSens))
+        case Some(ContentTarget(l)) if caseSens =>
+          Seq((java.util.regex.Pattern.quote(l.value), false, true))
         case Some(ContentTarget(l)) =>
-          val toks = CodeTokenizer.tokenize(l.value).distinct
-          if (toks.isEmpty) Iterator.empty
-          else Iterator.single((toks.map(java.util.regex.Pattern.quote)
-            .mkString("|"), false, caseSens))
+          tokenAlt(l).map((_, false, false)).toSeq
         case Some(SymbolTarget(l)) =>
-          val toks = CodeTokenizer.tokenize(l.value).distinct
-          if (toks.isEmpty) Iterator.empty
-          else Iterator.single((toks.map(java.util.regex.Pattern.quote)
-            .mkString("|"), true, caseSens))
-        case None => Iterator.empty
+          tokenAlt(l).map((_, true, false)).toSeq
+        case None => Seq.empty
       }
-    }.nextOption()
+    }
 
   /** Production search page: top-k hits materialized WITH snippets — the
     * reference snippets only the returned page (query/execute.rs:500-528,
@@ -265,20 +292,21 @@ class QueryExecutor(searcher: Searcher) {
     */
   def executeWithSnippets(input: String, k: Int): DataFrame = {
     import searcher.spark.implicits._
-    val spec = snippetSpec(input)
+    val specs = snippetSpecs(input)
     val page = searcher.docs
       .join(broadcast(execute(input, k).toDF()), "docId")
       .select($"docId", $"score", $"repo", $"path", $"lang", $"content",
         $"lineEnds")
       .as[PageRow]
     page.map { r =>
-      val snips = spec match {
-        case None => Seq.empty
-        case Some((pat, false, cs)) =>
+      // union over branch specs, deduped and in document order — a doc
+      // hit by only the second OR branch still gets its snippets
+      val snips = specs.flatMap {
+        case (pat, false, cs) =>
           Snippets.forDoc(r.content, r.lineEnds, pat, cs)
-        case Some((pat, true, cs)) =>
+        case (pat, true, cs) =>
           Snippets.forDocSymbols(r.content, r.lineEnds, pat, cs)
-      }
+      }.distinct.sortBy(s => (s.lineStart, s.lineEnd))
       SnippetRow(r.docId, r.score, r.repo, r.path, r.lang, snips.size,
         snips.map(_.highlights.size).sum,
         snips.headOption.map(_.data).getOrElse(""))
@@ -360,8 +388,7 @@ class QueryExecutor(searcher: Searcher) {
     // org-qualified branch additionally requiring its `org:` literal to
     // match the name's org segment (orgOf; substring/regex per literal,
     // like every metadata label)
-    val orgSeg: Column = when(size(split($"name", "/")) >= 2,
-      element_at(split($"name", "/"), -2)).otherwise(lit(""))
+    val orgSeg: Column = QueryExecutor.orgSegOf($"name")
     val anyMatch: Column = branches.map { b =>
       val caseSens = b.caseSensitive.getOrElse(false)
       def pat(l: QLit): String = (if (caseSens) "" else "(?i)") +

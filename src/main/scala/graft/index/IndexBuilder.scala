@@ -19,6 +19,14 @@ case class IdRow(docId: Long, repo: String, path: String,
 private case class TokBucket(term: String, docId: Long, tf: Int,
                              normId: Byte, bucket: Int)
 
+/** Map-side PARTIAL posting run for (term, bucket): one map partition's
+  * slice, already delta+varint compressed — the unit the postings shuffle
+  * moves (phase 1 of the two-phase merge). `first` = firstDocId of the
+  * first block, the reduce-side secondary sort key.
+  */
+private case class TokPartial(term: String, bucket: Int, first: Long,
+                              blocks: Seq[Block])
+
 private case class SlimDoc(docId: Long, path: String, content: String,
                            normId: Byte)
 
@@ -204,11 +212,25 @@ class IndexBuilder(
   def readStats(): IndexStats =
     spark.read.parquet(statsPath).as[IndexStats].head()
 
-  /** Stage "postings": the inverted index proper. One shuffle, keyed by
-    * (term, bucket): bucket = (docId-1)/bucketSize chops every hot term's
-    * postings into bounded, non-overlapping docId ranges (deterministic
-    * salting); in-partition secondary sort by docId lets the encoder
-    * stream each run into compressed blocks without materializing a group.
+  /** Stage "postings": the inverted index proper — the north star's
+    * two-phase partial-posting merge, literally:
+    *
+    *   phase 1 (map side): sort each partition's raw postings in place
+    *     (narrow — no data movement) and stream-encode them into PARTIAL
+    *     delta+varint runs per (term, bucket);
+    *   shuffle: the compressed partials (≈4-6 bytes/posting instead of a
+    *     ~30-byte raw row — the shuffle that dominated the build shrinks
+    *     ~5×, and the per-row serialization overhead amortizes over whole
+    *     runs);
+    *   phase 2 (reduce side): group partials by (term, bucket) — bucket =
+    *     (docId-1)/bucketSize chops every hot term into bounded,
+    *     non-overlapping docId ranges (deterministic salting) — k-way
+    *     MERGE the pre-sorted partial streams (no reduce-side sort of raw
+    *     postings) and re-encode the full run.
+    *
+    * The re-encode makes final artifacts byte-identical to a single-phase
+    * build: block boundaries depend only on the merged entry stream, never
+    * on how the map side was partitioned.
     */
   /** Sources from the docs stage output (docIds, normIds and the
     * indexability filter are already materialized there) — deliberately
@@ -222,6 +244,35 @@ class IndexBuilder(
   }
 
   private def buildPostingsBody(): Unit = {
+    // Phase 1 runs at the docs-parquet READ parallelism: pin the split
+    // size to docsBytes/P for the duration of the stage so the map-side
+    // sort+encode gets P-way splits. Default bin-packing would coalesce
+    // the (deliberately small at test scale) docs files into a handful of
+    // fat partitions, capping exactly the stage that replaced the 128-way
+    // reduce sort — observed as 8-core postings time DOUBLING while
+    // 2-core stayed flat. Each docs file is a single row group, so
+    // file-granularity splits are always achievable; at production sizes
+    // docsBytes/P ≥ the 128 MB default and this is a no-op.
+    val docsBytes = Option(new java.io.File(docsPath).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val splitTarget = math.max(1L << 20, docsBytes / math.max(1, P))
+    val prevMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.getOption("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", splitTarget.toString)
+    spark.conf.set("spark.sql.files.openCostInBytes",
+      math.min(splitTarget, 1L << 20).toString)
+    try buildPostingsPhases()
+    finally {
+      prevMax.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
+        v => spark.conf.set("spark.sql.files.maxPartitionBytes", v))
+      prevOpen.fold(spark.conf.unset("spark.sql.files.openCostInBytes"))(
+        v => spark.conf.set("spark.sql.files.openCostInBytes", v))
+    }
+  }
+
+  private def buildPostingsPhases(): Unit = {
     val stats = readStats()
     val bNormCache = spark.sparkContext.broadcast(
       Bm25.normCache(stats.avgdl.toFloat))
@@ -243,16 +294,21 @@ class IndexBuilder(
             ((p.docId - 1) / bs).toInt))
       }
     }
-    val strRuns = strTok
-      .repartition(P, $"term", $"bucket")
+    // phase 1: narrow in-partition sort + streaming partial-run encode
+    val strPartials: Dataset[TokPartial] = strTok
       .sortWithinPartitions($"term", $"bucket", $"docId")
-      .mapPartitions { it =>
-        instrument[PostingRun]("postings", lin)(
-          new RunGroupingIterator(it, bNormCache.value))(
-          r => s"${r.term}:${r.bucket}:${r.df}")
-      }
+      .mapPartitions(it => new TokPartialIterator(it, bNormCache.value))
+    def mergePhase(partials: Dataset[TokPartial]): Dataset[PostingRun] =
+      partials
+        .repartition(P, $"term", $"bucket")
+        .sortWithinPartitions($"term", $"bucket", $"first")
+        .mapPartitions { it =>
+          instrument[PostingRun]("postings", lin)(
+            new PartialMergeIterator(it, bNormCache.value))(
+            r => s"${r.term}:${r.bucket}:${r.df}")
+        }
     if (!trig) {
-      strRuns.write.mode("overwrite").parquet(postingsPath)
+      mergePhase(strPartials).write.mode("overwrite").parquet(postingsPath)
       writeLineage(lin)
       return
     }
@@ -300,15 +356,15 @@ class IndexBuilder(
             .map(c => GramBucket(c | PathNsBit, d.docId, d.normId, bucket))
         }
       }
-    val gramRuns = gramTok.union(stubGrams)
-      .repartition(P, $"code", $"bucket")
+    // gram partials keep the packed-long shuffle-avoidance one step
+    // further: codes never shuffle at all — the in-partition sort is on
+    // fixed-width longs and only the encoded partials (term string
+    // reconstructed ONCE per partial run) reach the exchange
+    val gramPartials: Dataset[TokPartial] = gramTok.union(stubGrams)
       .sortWithinPartitions($"code", $"bucket", $"docId")
-      .mapPartitions { it =>
-        instrument[PostingRun]("postings", lin)(
-          new GramRunGroupingIterator(it, bNormCache.value))(
-          r => s"${r.term}:${r.bucket}:${r.df}")
-      }
-    strRuns.union(gramRuns).write.mode("overwrite").parquet(postingsPath)
+      .mapPartitions(it => new GramPartialIterator(it, bNormCache.value))
+    mergePhase(strPartials.union(gramPartials))
+      .write.mode("overwrite").parquet(postingsPath)
     writeLineage(lin)
   }
 
@@ -547,61 +603,111 @@ object IndexBuilder {
   }
 }
 
-/** Streaming grouper for the packed-gram path: consumes GramBucket rows
-  * sorted by (code, bucket, docId), emits one PostingRun per (code,bucket)
-  * with the term string ("g:xyz" / "p:xyz") reconstructed once per run.
+/** Phase-1 grouper for the packed-gram path: consumes GramBucket rows
+  * sorted by (code, bucket, docId), emits one compressed TokPartial per
+  * (code,bucket) with the term string ("g:xyz" / "p:xyz") reconstructed
+  * once per partial — codes themselves never reach the shuffle.
   */
-private class GramRunGroupingIterator(
+private class GramPartialIterator(
     it: Iterator[GramBucket],
-    normCache: Array[Float]) extends Iterator[PostingRun] {
+    normCache: Array[Float]) extends Iterator[TokPartial] {
   private val buf = it.buffered
   override def hasNext: Boolean = buf.hasNext
-  override def next(): PostingRun = {
+  override def next(): TokPartial = {
     val code = buf.head.code
     val bucket = buf.head.bucket
-    var df = 0L
     val entries = new Iterator[(Long, Int, Byte)] {
       def hasNext: Boolean =
         buf.hasNext && buf.head.code == code && buf.head.bucket == bucket
       def next(): (Long, Int, Byte) = {
         val e = buf.next()
-        df += 1
         (e.docId, 1, e.normId)
       }
     }
     val blocks = PostingCodec.encodeRun(entries, normCache)
-    val maxTfNorm = if (blocks.isEmpty) 0f else blocks.map(_.maxTfNorm).max
     val ns = if ((code & IndexBuilder.PathNsBit) != 0L) "p:" else "g:"
     val term = ns + graft.tokenize.CodeTokenizer.decodeTrigram(
       code & ~IndexBuilder.PathNsBit)
-    PostingRun(term, bucket, df, df, maxTfNorm, blocks)
+    TokPartial(term, bucket,
+      blocks.headOption.map(_.firstDocId).getOrElse(Long.MaxValue), blocks)
   }
 }
 
-/** Streaming grouper: consumes TokBucket rows sorted by (term, bucket,
-  * docId) and emits one encoded PostingRun per (term,bucket) without
-  * materializing more than one run's blocks at a time.
+/** Phase-1 grouper: consumes TokBucket rows sorted by (term, bucket,
+  * docId) and emits one compressed TokPartial per (term,bucket) without
+  * materializing more than one partial's blocks at a time.
   */
-private class RunGroupingIterator(
+private class TokPartialIterator(
     it: Iterator[TokBucket],
+    normCache: Array[Float]) extends Iterator[TokPartial] {
+  private val buf = it.buffered
+  override def hasNext: Boolean = buf.hasNext
+  override def next(): TokPartial = {
+    val term = buf.head.term
+    val bucket = buf.head.bucket
+    val entries = new Iterator[(Long, Int, Byte)] {
+      def hasNext: Boolean =
+        buf.hasNext && buf.head.term == term && buf.head.bucket == bucket
+      def next(): (Long, Int, Byte) = {
+        val e = buf.next()
+        (e.docId, e.tf, e.normId)
+      }
+    }
+    val blocks = PostingCodec.encodeRun(entries, normCache)
+    TokPartial(term, bucket,
+      blocks.headOption.map(_.firstDocId).getOrElse(Long.MaxValue), blocks)
+  }
+}
+
+/** Phase-2 merger: consumes TokPartial rows sorted by (term, bucket,
+  * first), k-way-merges each (term,bucket) group's pre-sorted entry
+  * streams and RE-ENCODES the full run — df/cf/maxTfNorm are recomputed
+  * from the merged stream, so the output is byte-identical to a
+  * single-phase encode regardless of how the map side was partitioned.
+  * Partial docId ranges usually abut (docs files hold contiguous rank
+  * ranges) but can interleave when parquet bin-packing mixes files into
+  * one read partition — the cheap non-overlap check keeps the common case
+  * a plain concatenation of decode streams.
+  */
+private class PartialMergeIterator(
+    it: Iterator[TokPartial],
     normCache: Array[Float]) extends Iterator[PostingRun] {
   private val buf = it.buffered
   override def hasNext: Boolean = buf.hasNext
   override def next(): PostingRun = {
     val term = buf.head.term
     val bucket = buf.head.bucket
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Seq[Block]]
+    while (buf.hasNext && buf.head.term == term && buf.head.bucket == bucket)
+      parts += buf.next().blocks
+    val nonEmpty = parts.filter(_.nonEmpty)
+    val ordered = nonEmpty.sortBy(_.head.firstDocId)
+    val disjoint = (1 until ordered.size).forall(i =>
+      ordered(i - 1).last.lastDocId < ordered(i).head.firstDocId)
+    val merged: Iterator[(Long, Int, Byte)] =
+      if (disjoint) ordered.iterator.flatMap(PostingCodec.decodeRun)
+      else {
+        val pq = new java.util.PriorityQueue[BufferedIterator[(Long, Int, Byte)]](
+          math.max(1, ordered.size),
+          Ordering.by((h: BufferedIterator[(Long, Int, Byte)]) => h.head._1))
+        ordered.foreach { p =>
+          val h = PostingCodec.decodeRun(p).buffered
+          if (h.hasNext) pq.add(h)
+        }
+        new Iterator[(Long, Int, Byte)] {
+          def hasNext: Boolean = !pq.isEmpty
+          def next(): (Long, Int, Byte) = {
+            val h = pq.poll()
+            val e = h.next()
+            if (h.hasNext) pq.add(h)
+            e
+          }
+        }
+      }
     var df = 0L
     var cf = 0L
-    val entries = new Iterator[(Long, Int, Byte)] {
-      def hasNext: Boolean =
-        buf.hasNext && buf.head.term == term && buf.head.bucket == bucket
-      def next(): (Long, Int, Byte) = {
-        val e = buf.next()
-        df += 1; cf += e.tf
-        (e.docId, e.tf, e.normId)
-      }
-    }
-    val blocks = PostingCodec.encodeRun(entries, normCache)
+    val counted = merged.map { e => df += 1; cf += e._2; e }
+    val blocks = PostingCodec.encodeRun(counted, normCache)
     val maxTfNorm = if (blocks.isEmpty) 0f else blocks.map(_.maxTfNorm).max
     PostingRun(term, bucket, df, cf, maxTfNorm, blocks)
   }

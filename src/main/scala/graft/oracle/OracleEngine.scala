@@ -196,7 +196,10 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)],
             (if (l.isRegex) l.value
              else java.util.regex.Pattern.quote(l.value.toLowerCase)))
           .matcher(field.toLowerCase).find()
-      b.org.forall(sub(d.repo, _)) && b.repo.forall(sub(d.repo, _)) &&
+      // org: matches the owner SEGMENT (orgOf), like the repo reader —
+      // mirrors QueryExecutor.filterDocs (round-3 review)
+      b.org.forall(sub(graft.engine.QueryExecutor.orgOf(d.repo), _)) &&
+        b.repo.forall(sub(d.repo, _)) &&
         (!includePath || b.path.forall(sub(d.path, _))) &&
         b.branch.forall(sub(d.branch, _)) &&
         b.lang.forall(_ == d.lang)

@@ -170,14 +170,20 @@ object Similarity {
     */
   def ivfCentroids(embeddings: DataFrame, nlist: Int = 16,
                    lloydIters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val quant = embeddings.select(col("vec_id"), qarr(col("embedding")).as("qe"))
     var cents = quant.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("qe").as("cent"))
     (0 until lloydIters).foreach { _ =>
-      // tiny frame (nlist rows): persist to cut the re-planned lineage of
-      // iterated assignments
-      cents = lloydUpdate(quant, cents)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // nlist tiny rows: materialize to the driver between iterations —
+      // truncates the iterated-assignment lineage without the old
+      // per-iteration persist, which leaked one cached frame per Lloyd
+      // round for the session lifetime (round-3 review). Deterministic
+      // (exact-integer Lloyd), so cross-engine parity is unaffected.
+      val rows = lloydUpdate(quant, cents).select("cid", "cent").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+      cents = rows.toDF("cid", "cent")
     }
     cents
   }

@@ -341,6 +341,21 @@ class QueryExecutorSpec extends AnyFunSuite {
     assert(mixed.nonEmpty && mixed.forall(_.getString(0).contains("repo1")))
   }
 
+  test("executeWithSnippets: case-sensitive and OR-branch hits snippet " +
+       "under their own patterns (round-3 review)") {
+    // case-sensitive: hits are verified against the RAW literal, so the
+    // snippet pattern must be that literal too — the lowercased token
+    // alternation matched case-sensitively produced n_snippets=0
+    val cs = exec.executeWithSnippets("case:sensitive parse", 20).collect()
+    assert(cs.nonEmpty)
+    assert(cs.forall(_.getInt(5) > 0),
+      cs.map(r => (r.getLong(0), r.getInt(5))).mkString(","))
+    // a doc hit only via the second OR branch still gets snippets
+    val or2 = exec.executeWithSnippets("zzzznotfound or parse", 20).collect()
+    assert(or2.nonEmpty && or2.forall(_.getInt(5) > 0),
+      or2.map(r => (r.getLong(0), r.getInt(5))).mkString(","))
+  }
+
   test("open:/listDir: immediate children of a path prefix (D6)") {
     val root = exec.executeOpen("open:true path:").collect()
       .map(r => (r.getString(1), r.getBoolean(2))).toSet
