@@ -89,6 +89,9 @@ object SparkEntry {
     "q_minhash_bands" -> ((s, d) => Dedup.minhashBands(docs(s, d))),
     "q_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "q_minhash_pairs" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
+    "q_simhash_pairs" -> ((s, d) => // Hamming-band LSH + exact bit_count
+      // verify — complete recall for Hamming ≤ 3 by pigeonhole
+      Dedup.simhashPairs(docs(s, d))),
     "q_dedup_clusters" -> ((s, d) => // connected components over LSH
       // buckets via star-reduced edges (same components as the full
       // clique pairs — the oracle computes them from the cliques)
@@ -475,6 +478,24 @@ object SparkEntry {
            |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
            |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
            |  AND a.doc_id < b.doc_id""".stripMargin,
+      "q_simhash_pairs" -> // Hamming-band LSH (4×4-bit bands) + exact
+        // bit_count verify (mirrors Dedup.simhashPairs)
+        s"""WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM ($words) GROUP BY doc_id, w),
+           |wh AS (SELECT doc_id, tf, ${charHash("w")} AS wh FROM tf),
+           |votes AS (SELECT doc_id, bit, sum(tf * (((wh // CAST(pow(2,bit) AS BIGINT)) % 2)*2 - 1)) AS v
+           |          FROM wh CROSS JOIN (SELECT unnest(range(0,16)) AS bit) GROUP BY doc_id, bit),
+           |sh AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2,bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+           |       FROM votes GROUP BY doc_id),
+           |b AS (SELECT doc_id, band, (simhash >> (CAST(band AS INT)*4)) & 15 AS bucket
+           |      FROM sh CROSS JOIN (SELECT unnest(range(0,4)) AS band)),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+           |         FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+           |           AND x.doc_id < y.doc_id),
+           |j AS (SELECT doc_id_a, doc_id_b,
+           |        CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+           |      FROM cand JOIN sh sa ON sa.doc_id = doc_id_a
+           |                JOIN sh sb ON sb.doc_id = doc_id_b)
+           |SELECT doc_id_a, doc_id_b, hamming FROM j WHERE hamming <= 3""".stripMargin,
       "q_dedup_clusters" ->
         s"""WITH RECURSIVE wh AS (SELECT DISTINCT doc_id, ${charHash("w")} AS wh FROM ($words)),
            |mh AS (SELECT doc_id, seed, min(((2*seed+1)*wh + (1000003*seed+12345)) % 1000000007) AS minhash

@@ -271,6 +271,38 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
+  /** SimHash near-dup pairs at scale: 4 bands of 4 bits over the 16-bit
+    * simhash — docs sharing ANY exact band bucket are candidates (Hamming
+    * LSH: a pair within Hamming distance 3 differs in ≤3 of 4 bands, so
+    * by pigeonhole it shares at least one — recall is COMPLETE for
+    * maxHamming ≤ 3), then verified by exact Hamming distance via
+    * bit_count(xor). Same two-tier candidates→verify shape as the MinHash
+    * and cosine paths; no all-pairs product anywhere.
+    * Output (doc_id_a, doc_id_b, hamming ≤ maxHamming).
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sh = simhash(documents)
+    val bands = (0 until 4).toDF("band")
+    val b = sh.crossJoin(broadcast(bands))
+      .select(col("doc_id"),
+        expr("(simhash >> (band*4)) & 15").as("bucket"), col("band"))
+    val cand = b.select(col("band"), col("bucket"), col("doc_id").as("doc_id_a"))
+      .join(b.select(col("band"), col("bucket"), col("doc_id").as("doc_id_b")),
+        Seq("band", "bucket"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_id_a"), col("simhash").as("ha")),
+        "doc_id_a")
+      .join(sh.select(col("doc_id").as("doc_id_b"), col("simhash").as("hb")),
+        "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Word-set Jaccard similarity of consecutive doc pairs (doc_id, doc_id+1)
     * — the n-gram-Jaccard near-dup measure demonstrated on a deterministic
     * O(n) pair set (the LSH bucket join above picks the pairs at scale).

@@ -107,6 +107,42 @@ class EntrySpec extends AnyFunSuite {
     assert(got == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("simhashPairs: Hamming-band candidates verified by exact bit_count") {
+    import spark.implicits._
+    // 1↔2 identical word multisets ⇒ identical simhash ⇒ hamming 0;
+    // 3 unrelated vocabulary (any shared band is filtered by the verify
+    // unless truly within distance 3)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),
+      (3L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Dedup.simhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.contains((1L, 2L, 0)))
+    // every emitted pair honors the threshold, and pairs are verified
+    // against the true simhash distance
+    val sh = graft.pipeline.Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (a, b, h) =>
+      h <= 3 && java.lang.Long.bitCount(sh(a) ^ sh(b)) == h })
+  }
+
+  test("orgSegOf (Column) == orgOf (Java) on degenerate repo names") {
+    import spark.implicits._
+    val names = Seq("github.com/acme/repo", "acme/repo", "repo", "acme/",
+      "a//b", "//", "", "/x", "a//", "x/y/z/")
+    import org.apache.spark.sql.functions.col
+    val got = names.toDF("name")
+      .select(col("name"),
+        graft.engine.QueryExecutor.orgSegOf(col("name")).as("org"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    names.foreach { n =>
+      assert(got(n) == graft.engine.QueryExecutor.orgOf(n),
+        s"name '$n': column=${got(n)} java=${graft.engine.QueryExecutor.orgOf(n)}")
+    }
+  }
+
   test("tokenCounts: BPE-ish regex sub-token count (n_bpe_regex)") {
     import spark.implicits._
     val docs = Seq((1L, "hello world42 foo.bar", 21L))
