@@ -158,22 +158,18 @@ class QueryExecutor(searcher: Searcher) {
     var pred: Option[Column] = None
     def and(c: Column): Unit =
       pred = Some(pred.map(_ && c).getOrElse(c))
-    def subOrRegex(colName: String, l: QLit): Unit =
-      and(regexp_like(lower(col(colName)),
+    def subOrRegex(c: Column, l: QLit): Unit =
+      and(regexp_like(lower(c),
         lit("(?i)" + (if (l.isRegex) l.value else
           java.util.regex.Pattern.quote(l.value.toLowerCase)))))
     // org: matches the OWNER SEGMENT of the repo name (orgOf), the same
     // semantics the repo reader gives it — not a substring of the whole
     // name, which would also hit repos whose basename merely contains the
     // org string (round-3 review)
-    b.org.foreach { l =>
-      and(regexp_like(lower(QueryExecutor.orgSegOf(col("repo"))),
-        lit("(?i)" + (if (l.isRegex) l.value else
-          java.util.regex.Pattern.quote(l.value.toLowerCase)))))
-    }
-    b.repo.foreach(l => subOrRegex("repo", l))
-    if (includePath) b.path.foreach(l => subOrRegex("path", l))
-    b.branch.foreach(l => subOrRegex("branch", l))
+    b.org.foreach(l => subOrRegex(QueryExecutor.orgSegOf(col("repo")), l))
+    b.repo.foreach(l => subOrRegex(col("repo"), l))
+    if (includePath) b.path.foreach(l => subOrRegex(col("path"), l))
+    b.branch.foreach(l => subOrRegex(col("branch"), l))
     b.lang.foreach(l => and(col("lang") === l))
     pred.map(p => searcher.docs.filter(p).select("docId"))
   }
@@ -293,20 +289,41 @@ class QueryExecutor(searcher: Searcher) {
   def executeWithSnippets(input: String, k: Int): DataFrame = {
     import searcher.spark.implicits._
     val specs = snippetSpecs(input)
+    // ONE compiled alternation per mode (the reference compiles the
+    // query's full regex set once, snippet.rs:296+): per-branch case
+    // sensitivity rides inline — (?i:…) around insensitive branches, the
+    // whole pattern compiled case-sensitively. A single pass per mode
+    // means a region shared by several OR branches yields ONE snippet
+    // with merged highlights, not near-duplicates (round-3 review).
+    def combinedPat(sym: Boolean): Option[String] = {
+      val ps = specs.filter(_._2 == sym)
+      if (ps.isEmpty) None
+      else Some(ps.map { case (p, _, cs) =>
+        if (cs) s"(?:$p)" else s"(?i:$p)" }.mkString("|"))
+    }
+    val contentPat = combinedPat(sym = false)
+    val symbolPat = combinedPat(sym = true)
     val page = searcher.docs
       .join(broadcast(execute(input, k).toDF()), "docId")
       .select($"docId", $"score", $"repo", $"path", $"lang", $"content",
         $"lineEnds")
       .as[PageRow]
     page.map { r =>
-      // union over branch specs, deduped and in document order — a doc
-      // hit by only the second OR branch still gets its snippets
-      val snips = specs.flatMap {
-        case (pat, false, cs) =>
-          Snippets.forDoc(r.content, r.lineEnds, pat, cs)
-        case (pat, true, cs) =>
-          Snippets.forDocSymbols(r.content, r.lineEnds, pat, cs)
-      }.distinct.sortBy(s => (s.lineStart, s.lineEnd))
+      val raw =
+        contentPat.toSeq.flatMap(p =>
+          Snippets.forDoc(r.content, r.lineEnds, p, caseSensitive = true)) ++
+        symbolPat.toSeq.flatMap(p =>
+          Snippets.forDocSymbols(r.content, r.lineEnds, p,
+            caseSensitive = true))
+      // content and symbol modes can still both emit the same region:
+      // merge per (window, data), union the highlight ranges
+      val snips = raw
+        .groupBy(s => (s.lineStart, s.lineEnd, s.data))
+        .map { case ((ls, le, data), g) =>
+          Snippets.Snippet(data, ls, le,
+            g.flatMap(_.highlights).distinct.sorted)
+        }
+        .toSeq.sortBy(s => (s.lineStart, s.lineEnd))
       SnippetRow(r.docId, r.score, r.repo, r.path, r.lang, snips.size,
         snips.map(_.highlights.size).sum,
         snips.headOption.map(_.data).getOrElse(""))

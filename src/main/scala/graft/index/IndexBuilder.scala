@@ -21,10 +21,10 @@ private case class TokBucket(term: String, docId: Long, tf: Int,
 
 /** Map-side PARTIAL posting run for (term, bucket): one map partition's
   * slice, already delta+varint compressed — the unit the postings shuffle
-  * moves (phase 1 of the two-phase merge). `first` = firstDocId of the
-  * first block, the reduce-side secondary sort key.
+  * moves (phase 1 of the two-phase merge); the merger orders a group's
+  * partials by their first block's firstDocId itself.
   */
-private case class TokPartial(term: String, bucket: Int, first: Long,
+private case class TokPartial(term: String, bucket: Int,
                               blocks: Seq[Block])
 
 private case class SlimDoc(docId: Long, path: String, content: String,
@@ -257,6 +257,10 @@ class IndexBuilder(
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.length()).sum
+    // an unreadable/non-local docsPath lists as 0 bytes — leave the conf
+    // alone rather than pinning to the floor and shredding a production
+    // scan into 1 MB splits (round-3 review)
+    if (docsBytes <= 0) { buildPostingsPhases(); return }
     val splitTarget = math.max(1L << 20, docsBytes / math.max(1, P))
     val prevMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     val prevOpen = spark.conf.getOption("spark.sql.files.openCostInBytes")
@@ -301,7 +305,7 @@ class IndexBuilder(
     def mergePhase(partials: Dataset[TokPartial]): Dataset[PostingRun] =
       partials
         .repartition(P, $"term", $"bucket")
-        .sortWithinPartitions($"term", $"bucket", $"first")
+        .sortWithinPartitions($"term", $"bucket")
         .mapPartitions { it =>
           instrument[PostingRun]("postings", lin)(
             new PartialMergeIterator(it, bNormCache.value))(
@@ -628,8 +632,7 @@ private class GramPartialIterator(
     val ns = if ((code & IndexBuilder.PathNsBit) != 0L) "p:" else "g:"
     val term = ns + graft.tokenize.CodeTokenizer.decodeTrigram(
       code & ~IndexBuilder.PathNsBit)
-    TokPartial(term, bucket,
-      blocks.headOption.map(_.firstDocId).getOrElse(Long.MaxValue), blocks)
+    TokPartial(term, bucket, blocks)
   }
 }
 
@@ -654,13 +657,12 @@ private class TokPartialIterator(
       }
     }
     val blocks = PostingCodec.encodeRun(entries, normCache)
-    TokPartial(term, bucket,
-      blocks.headOption.map(_.firstDocId).getOrElse(Long.MaxValue), blocks)
+    TokPartial(term, bucket, blocks)
   }
 }
 
-/** Phase-2 merger: consumes TokPartial rows sorted by (term, bucket,
-  * first), k-way-merges each (term,bucket) group's pre-sorted entry
+/** Phase-2 merger: consumes TokPartial rows grouped by (term, bucket);
+  * orders each group's partials by first docId, k-way-merges the entry
   * streams and RE-ENCODES the full run — df/cf/maxTfNorm are recomputed
   * from the merged stream, so the output is byte-identical to a
   * single-phase encode regardless of how the map side was partitioned.
