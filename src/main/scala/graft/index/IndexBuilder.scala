@@ -43,10 +43,11 @@ private case class GramBucket(code: Long, docId: Long, normId: Byte,
   *   corpus → filter (reference indexability limits)
   *          → deterministic docId assignment (global rank, scalable)
   *   stage "docs":     per-doc stored/fast fields + corpus stats
-  *   stage "postings": tokenize → (term, docId, tf, normId)
-  *                     → shuffle on (term, bucket) [bucket = docId range =
-  *                       deterministic salt for hot terms, SURVEY §4.3]
-  *                     → secondary-sorted streaming block encode
+  *   stage "postings": tokenize → narrow in-partition sort → PARTIAL
+  *                     delta/varint run encode → shuffle of compressed
+  *                     partials on (term, bucket) [bucket = docId range =
+  *                     deterministic salt for hot terms, SURVEY §4.3]
+  *                     → k-way merge + re-encode (two-phase merge)
   *   stage "dict":     per-term global df/cf/maxTfNorm from run partials
   *
   * Each stage is idempotent, `_SUCCESS`-gated for resume-after-failure, and
