@@ -289,34 +289,24 @@ class QueryExecutor(searcher: Searcher) {
   def executeWithSnippets(input: String, k: Int): DataFrame = {
     import searcher.spark.implicits._
     val specs = snippetSpecs(input)
-    // ONE compiled alternation per mode (the reference compiles the
-    // query's full regex set once, snippet.rs:296+): per-branch case
-    // sensitivity rides inline — (?i:…) around insensitive branches, the
-    // whole pattern compiled case-sensitively. A single pass per mode
-    // means a region shared by several OR branches yields ONE snippet
-    // with merged highlights, not near-duplicates (round-3 review).
-    def combinedPat(sym: Boolean): Option[String] = {
-      val ps = specs.filter(_._2 == sym)
-      if (ps.isEmpty) None
-      else Some(ps.map { case (p, _, cs) =>
-        if (cs) s"(?:$p)" else s"(?i:$p)" }.mkString("|"))
-    }
-    val contentPat = combinedPat(sym = false)
-    val symbolPat = combinedPat(sym = true)
     val page = searcher.docs
       .join(broadcast(execute(input, k).toDF()), "docId")
       .select($"docId", $"score", $"repo", $"path", $"lang", $"content",
         $"lineEnds")
       .as[PageRow]
     page.map { r =>
-      val raw =
-        contentPat.toSeq.flatMap(p =>
-          Snippets.forDoc(r.content, r.lineEnds, p, caseSensitive = true)) ++
-        symbolPat.toSeq.flatMap(p =>
-          Snippets.forDocSymbols(r.content, r.lineEnds, p,
-            caseSensitive = true))
-      // content and symbol modes can still both emit the same region:
-      // merge per (window, data), union the highlight ranges
+      // one scan PER SPEC — each branch's pattern compiles in isolation
+      // (a combined alternation would renumber capturing groups, breaking
+      // branch-local backreferences, and Java's ordered alternation would
+      // shadow overlapping matches from later branches — round-3 review);
+      // then regions emitted by several branches merge per (window, data)
+      // with unioned highlights, so shared regions never duplicate
+      val raw = specs.flatMap {
+        case (pat, false, cs) =>
+          Snippets.forDoc(r.content, r.lineEnds, pat, cs)
+        case (pat, true, cs) =>
+          Snippets.forDocSymbols(r.content, r.lineEnds, pat, cs)
+      }
       val snips = raw
         .groupBy(s => (s.lineStart, s.lineEnd, s.data))
         .map { case ((ls, le, data), g) =>

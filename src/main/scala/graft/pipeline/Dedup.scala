@@ -64,16 +64,23 @@ object Dedup {
     * shingle set) — and clustering should use minhashStarEdges anyway,
     * which never materializes cliques.
     */
+  /** Drop rows of over-cap LSH buckets (keyed by `keys`): a bucket with
+    * more than `cap` members emits m²/2 pairs and its signature carries no
+    * discriminating information — the standard degenerate-bucket guard,
+    * shared by every banded candidate generator here.
+    */
+  private def capBuckets(b: DataFrame, keys: Seq[String],
+                         cap: Option[Int]): DataFrame = cap match {
+    case None => b
+    case Some(c) =>
+      val sizes = b.groupBy(keys.map(col): _*).agg(count("*").as("m"))
+      b.join(sizes.filter(col("m") <= c).select(keys.map(col): _*),
+        keys, "left_semi")
+  }
+
   def minhashCandidates(documents: DataFrame,
                         maxBucket: Option[Int] = None): DataFrame = {
-    val b0 = minhashBands(documents)
-    val b = maxBucket match {
-      case None => b0
-      case Some(cap) =>
-        val sizes = b0.groupBy("band", "sig").agg(count("*").as("m"))
-        b0.join(sizes.filter(col("m") <= cap).select("band", "sig"),
-          Seq("band", "sig"), "left_semi")
-    }
+    val b = capBuckets(minhashBands(documents), Seq("band", "sig"), maxBucket)
     val l = b.select(col("band"), col("sig"), col("doc_id").as("doc_id_a"))
     val r = b.select(col("band"), col("sig"), col("doc_id").as("doc_id_b"))
     l.join(r, Seq("band", "sig"))
@@ -295,16 +302,11 @@ object Dedup {
     // behind simhash runs once, not once per join branch (round-3 review)
     val sh = simhash(documents).localCheckpoint()
     val bands = (0 until 4).toDF("band")
-    val b0 = sh.crossJoin(broadcast(bands))
-      .select(col("doc_id"),
-        expr("(simhash >> (band*4)) & 15").as("bucket"), col("band"))
-    val b = maxBucket match {
-      case None => b0
-      case Some(cap) =>
-        val sizes = b0.groupBy("band", "bucket").agg(count("*").as("m"))
-        b0.join(sizes.filter(col("m") <= cap).select("band", "bucket"),
-          Seq("band", "bucket"), "left_semi")
-    }
+    val b = capBuckets(
+      sh.crossJoin(broadcast(bands))
+        .select(col("doc_id"),
+          expr("(simhash >> (band*4)) & 15").as("bucket"), col("band")),
+      Seq("band", "bucket"), maxBucket)
     val cand = b.select(col("band"), col("bucket"), col("doc_id").as("doc_id_a"))
       .join(b.select(col("band"), col("bucket"), col("doc_id").as("doc_id_b")),
         Seq("band", "bucket"))

@@ -128,6 +128,26 @@ class EntrySpec extends AnyFunSuite {
       h <= 3 && java.lang.Long.bitCount(sh(a) ^ sh(b)) == h })
   }
 
+  test("simhashPairs maxBucket cap drops over-cap buckets' pairs only") {
+    import spark.implicits._
+    // 6 near-identical docs (one shared 4-bit bucket of size 6 per band)
+    // plus one distinctive pair
+    val docs = ((1 to 6).map(i => (i.toLong, "common shared words here")) ++
+      Seq((10L, "rare unique vocabulary alpha"),
+        (11L, "alpha vocabulary unique rare")))
+      .toDF("doc_id", "text")
+    val unc = graft.pipeline.Dedup.simhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unc.contains((10L, 11L)))
+    assert((1 to 6).combinations(2).forall { case Seq(a, b) =>
+      unc.contains((a.toLong, b.toLong)) })
+    // cap 2 kills the size-6 clone bucket, keeps the pair bucket
+    val capped = graft.pipeline.Dedup.simhashPairs(docs, maxBucket = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((10L, 11L)))
+    assert(capped.forall { case (a, b) => a >= 10L && b >= 10L })
+  }
+
   test("orgSegOf (Column) == orgOf (Java) on degenerate repo names") {
     import spark.implicits._
     val names = Seq("github.com/acme/repo", "acme/repo", "repo", "acme/",
