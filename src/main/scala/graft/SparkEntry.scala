@@ -295,7 +295,12 @@ object SparkEntry {
         .executeRepo("org:acme repo:rc1", AllK)
         .select("name")),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(emb(s, d), 0L, 10)),
-    "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d), 0L, 10)),
+    "e_ivf_topk" -> ((s, d) => { // train-once artifacts + indexed query —
+      // the production IVF shape (round-3 VERDICT: no per-query retrain)
+      val dir = s"/tmp/graft-ivf-${d.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      Similarity.buildIvfIndex(emb(s, d), dir)
+      Similarity.ivfTopKIndexed(emb(s, d), dir, 0L, 10)
+    }),
     "e_media_features" -> ((s, _) =>
       Multimodal.featureStats(Multimodal.synthMedia(s, 300))),
     "e_frame_sample" -> ((s, _) =>
@@ -478,23 +483,24 @@ object SparkEntry {
            |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
            |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
            |  AND a.doc_id < b.doc_id""".stripMargin,
-      "q_simhash_pairs" -> // Hamming-band LSH (4×4-bit bands) + exact
-        // bit_count verify (mirrors Dedup.simhashPairs)
+      "q_simhash_pairs" -> // 64-bit banded SimHash (4×16-bit Manku bands):
+        // Hamming LSH on exact band words + Σ bit_count(xor) verify
+        // (mirrors Dedup.simhashPairs / simhash64Bands)
         s"""WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM ($words) GROUP BY doc_id, w),
            |wh AS (SELECT doc_id, tf, ${charHash("w")} AS wh FROM tf),
-           |votes AS (SELECT doc_id, bit, sum(tf * (((wh // CAST(pow(2,bit) AS BIGINT)) % 2)*2 - 1)) AS v
-           |          FROM wh CROSS JOIN (SELECT unnest(range(0,16)) AS bit) GROUP BY doc_id, bit),
-           |sh AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2,bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-           |       FROM votes GROUP BY doc_id),
-           |b AS (SELECT doc_id, band, (simhash >> (CAST(band AS INT)*4)) & 15 AS bucket
-           |      FROM sh CROSS JOIN (SELECT unnest(range(0,4)) AS band)),
+           |votes AS (SELECT doc_id, bit, sum(tf * ((((wh*(bit*2+1) + (bit*1000003 + 12345)) % 1000000007) % 2)*2 - 1)) AS v
+           |          FROM wh CROSS JOIN (SELECT unnest(range(0,64)) AS bit) GROUP BY doc_id, bit),
+           |sb AS (SELECT doc_id, CAST(bit // 16 AS INT) AS band,
+           |         CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, bit % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+           |       FROM votes GROUP BY doc_id, bit // 16),
            |cand AS (SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
-           |         FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+           |         FROM sb x JOIN sb y ON x.band = y.band AND x.bucket = y.bucket
            |           AND x.doc_id < y.doc_id),
            |j AS (SELECT doc_id_a, doc_id_b,
-           |        CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
-           |      FROM cand JOIN sh sa ON sa.doc_id = doc_id_a
-           |                JOIN sh sb ON sb.doc_id = doc_id_b)
+           |        CAST(sum(bit_count(xor(ba.bucket, bb.bucket))) AS INT) AS hamming
+           |      FROM cand JOIN sb ba ON ba.doc_id = doc_id_a
+           |                JOIN sb bb ON bb.doc_id = doc_id_b AND bb.band = ba.band
+           |      GROUP BY doc_id_a, doc_id_b)
            |SELECT doc_id_a, doc_id_b, hamming FROM j WHERE hamming <= 3""".stripMargin,
       "q_dedup_clusters" ->
         s"""WITH RECURSIVE wh AS (SELECT DISTINCT doc_id, ${charHash("w")} AS wh FROM ($words)),
@@ -721,7 +727,9 @@ object SparkEntry {
           |  || source AS name
           |FROM documents
           |WHERE doc_id % 2 = 0 AND contains(lower(source), 'rc1')""".stripMargin,
-      "e_lsh_topk" ->
+      "e_lsh_topk" -> // query-adaptive multi-probe: flip-mask set = every
+        // subset of the 3 planes with smallest |proj| for the query
+        // (mirrors Similarity.lshTopK probeBits=3; ties by plane id)
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
           |dims AS (SELECT vec_id, d, emb[CAST(d AS INT)+1] AS x
           |         FROM e CROSS JOIN (SELECT unnest(range(0,64)) AS d)),
@@ -732,15 +740,26 @@ object SparkEntry {
           |         GROUP BY vec_id, h),
           |b AS (SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN CAST(pow(2,h) AS BIGINT)
           |        ELSE 0 END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id),
+          |qp AS (SELECT h, pr FROM proj WHERE vec_id = 0),
+          |flip AS (SELECT h, rn - 1 AS r FROM (
+          |    SELECT h, row_number() OVER (ORDER BY abs(pr), h) AS rn FROM qp)
+          |  WHERE rn <= 3),
+          |masks AS (SELECT CAST(sum(CASE WHEN ((s >> CAST(r AS INT)) & 1) = 1
+          |            THEN CAST(pow(2,h) AS BIGINT) ELSE 0 END) AS BIGINT) AS mask
+          |          FROM (SELECT unnest(range(0,8)) AS s) CROSS JOIN flip
+          |          GROUP BY s),
           |q AS (SELECT b.bucket AS qb, e.emb AS qe FROM b JOIN e USING (vec_id) WHERE vec_id = 0)
           |SELECT e.vec_id, round(list_cosine_similarity(e.emb, q.qe), 4) AS cos
           |FROM e JOIN b USING (vec_id) CROSS JOIN q
-          |WHERE xor(b.bucket, q.qb) IN (0,1,2,4,8,16,32) AND e.vec_id <> 0
+          |WHERE xor(b.bucket, q.qb) IN (SELECT mask FROM masks) AND e.vec_id <> 0
           |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
-      "e_ivf_topk" -> // mirror of ivfTopK(nlist=16, nprobe=4, lloydIters=2):
-        // exact-integer Lloyd — quantize floor(x·1e4), assign by argmax
-        // BIGINT dot (ties → smaller cid), update by per-dim floor(sum/
-        // count), empty cells keep their centroid; two unrolled iterations
+      "e_ivf_topk" -> // mirror of buildIvfIndex + ivfTopKIndexed (nlist=16,
+        // nprobe=4, lloydIters=2): the persisted artifacts are the
+        // deterministic exact-integer Lloyd values, so the oracle
+        // re-derives them — quantize floor(x·1e4), assign by argmax BIGINT
+        // dot (ties → smaller cid), update by per-dim EXACT integer floor
+        // division (s - pmod(s,c))/c, empty cells keep their centroid; two
+        // unrolled iterations
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
           |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
           |dims AS (SELECT vec_id, d,
@@ -754,7 +773,7 @@ object SparkEntry {
           |      PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn FROM d1)
           |  WHERE rn = 1),
           |u1 AS (SELECT a1.cell AS cid, dims.d,
-          |         CAST(floor(CAST(sum(dims.x) AS DOUBLE)/count(*)) AS BIGINT) AS cx
+          |         (sum(dims.x) - ((sum(dims.x) % count(*)) + count(*)) % count(*)) // count(*) AS cx
           |       FROM dims JOIN a1 USING (vec_id) GROUP BY a1.cell, dims.d),
           |c1 AS (SELECT cid, d, cx FROM u1 UNION ALL
           |       SELECT cid, d, cx FROM c0
@@ -766,7 +785,7 @@ object SparkEntry {
           |      PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn FROM d2)
           |  WHERE rn = 1),
           |u2 AS (SELECT a2.cell AS cid, dims.d,
-          |         CAST(floor(CAST(sum(dims.x) AS DOUBLE)/count(*)) AS BIGINT) AS cx
+          |         (sum(dims.x) - ((sum(dims.x) % count(*)) + count(*)) % count(*)) // count(*) AS cx
           |       FROM dims JOIN a2 USING (vec_id) GROUP BY a2.cell, dims.d),
           |c2 AS (SELECT cid, d, cx FROM u2 UNION ALL
           |       SELECT cid, d, cx FROM c1

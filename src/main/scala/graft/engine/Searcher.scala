@@ -35,6 +35,10 @@ case class Hit(docId: Long, score: Float)
 class Searcher(@transient val spark: SparkSession, val indexRoot: String) {
   import spark.implicits._
 
+  // fail fast on a stale/missing index layout version (round-3 ADVICE:
+  // the build-time gate alone let old roots open silently)
+  graft.index.IndexBuilder.requireFormat(indexRoot)
+
   lazy val stats: IndexStats =
     spark.read.parquet(s"$indexRoot/stats")
       .as[IndexStats].head()

@@ -51,8 +51,13 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     finishMerge()
     val base = new java.io.File(basePath)
     val deltas = (1 to deltaCount()).map(deltaPath)
-    (if (new java.io.File(base, "docs/_SUCCESS").exists()) Seq(base.getPath)
-     else Seq.empty) ++ deltas
+    val gens =
+      (if (new java.io.File(base, "docs/_SUCCESS").exists()) Seq(base.getPath)
+       else Seq.empty) ++ deltas
+    // refuse to ingest onto / read from a stale-layout generation (round-3
+    // ADVICE): a v8 base with a v9 delta would silently half-work
+    gens.foreach(IndexBuilder.requireFormat)
+    gens
   }
 
   def buildBase(corpus: DataFrame): Unit =
@@ -140,6 +145,13 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     val freshDf = spark.read.parquet(staging)
     val freshCount = freshDf.count()
     if (freshCount == 0) { rmDir(staging); return 0L }
+    // intent marker BEFORE the first repo-set mutation: a crash between the
+    // delta/tombstone commit and the repo-index refresh would otherwise
+    // leave increments lost forever — the incremental liveRepoNames derives
+    // from the PREVIOUS sub-index, so the error would persist until a full
+    // compact() (round-3 ADVICE). A surviving marker forces the next
+    // refresh onto the self-healing liveDocs bootstrap path.
+    val staleIntent = beginRepoMutation()
     // tombstone old versions of keys being re-added (update = delete+add,
     // reference indexes.rs:244 semantics)
     liveDocs().foreach { live =>
@@ -160,7 +172,8 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     // added names come from the just-committed delta's own docs — a
     // column-pruned scan of ONE generation, O(batch)
     refreshRepoIndex(added =
-      Some(spark.read.parquet(s"${deltaPath(gen)}/docs").select($"repo")))
+      Some(spark.read.parquet(s"${deltaPath(gen)}/docs").select($"repo")),
+      forceBootstrap = staleIntent)
     freshCount
   }
 
@@ -171,10 +184,27 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     * the next compact().
     */
   def deleteRepo(repo: String): Unit = {
+    val staleIntent = beginRepoMutation()
     liveDocs().foreach { live =>
       appendTombstones(live.filter($"repo" === repo).select($"docId"))
     }
-    refreshRepoIndex(removed = Some(repo))
+    refreshRepoIndex(removed = Some(repo), forceBootstrap = staleIntent)
+  }
+
+  /** Repo-index refresh intent marker: written before the first mutation
+    * the incremental liveRepoNames could miss, cleared when the refresh
+    * commits. `true` ⇒ a PREVIOUS mutation crashed before its refresh, so
+    * the caller must route its own refresh through the liveDocs bootstrap
+    * (the increments it would pass describe only ITS batch, not the lost
+    * one).
+    */
+  private def intentMarker = new java.io.File(s"$root/REPO_REFRESH_INTENT")
+  private def beginRepoMutation(): Boolean = {
+    val stale = intentMarker.exists()
+    new java.io.File(root).mkdirs()
+    java.nio.file.Files.writeString(intentMarker.toPath,
+      "repo-index refresh pending")
+    stale
   }
 
   /** Write existing ∪ new as the next tombstone version, then clean up
@@ -234,10 +264,19 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     * compaction. Name set derived incrementally (liveRepoNames), then the
     * tiny nested build. Versioned-dir commit; older versions cleaned after
     * the new one is complete (crash-safe, never a missing-index window).
+    *
+    * forceBootstrap (set by ingest/deleteRepo when a refresh-intent marker
+    * from a CRASHED earlier mutation survives): derive the name set from
+    * the full liveDocs scan instead of the increments — the increments
+    * describe only the current batch, not the lost one, and the
+    * incremental path would propagate the gap until compaction.
     */
   def refreshRepoIndex(added: Option[DataFrame] = None,
-                       removed: Option[String] = None): Unit = {
-    val names = liveRepoNames(added, removed).getOrElse(return)
+                       removed: Option[String] = None,
+                       forceBootstrap: Boolean = false): Unit = {
+    val names =
+      (if (forceBootstrap) liveDocs().map(_.select($"repo"))
+       else liveRepoNames(added, removed)).getOrElse(return)
     val v = repoIndexVersions().lastOption.getOrElse(0) + 1
     val dst = s"$root/repoIndex-$v"
     // a crashed partial build of this version could otherwise RESUME: its
@@ -246,6 +285,7 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     rmDir(dst)
     IndexBuilder.buildRepoIndexAt(spark, names, dst, bucketSize)
     repoIndexVersions().filter(_ < v).foreach(o => rmDir(s"$root/repoIndex-$o"))
+    intentMarker.delete() // refresh committed: the pending intent is served
   }
 
   /** Searcher over all live generations with tombstone filtering and

@@ -16,9 +16,6 @@ case class IdRow(docId: Long, repo: String, path: String,
                  commit: String, lang: String, content: String,
                  contentSha: String, branch: String)
 
-private case class TokBucket(term: String, docId: Long, tf: Int,
-                             normId: Byte, bucket: Int)
-
 /** Map-side PARTIAL posting run for (term, bucket): one map partition's
   * slice, already delta+varint compressed — the unit the postings shuffle
   * moves (phase 1 of the two-phase merge); the merger orders a group's
@@ -34,9 +31,6 @@ private case class KeyedRow(bucket: Int, docKey: String, repo: String,
                             path: String, commit: String, lang: String,
                             content: String, contentSha: String,
                             branch: String)
-
-private case class GramBucket(code: Long, docId: Long, normId: Byte,
-                              bucket: Int)
 
 /** Distributed inverted-index builder (SURVEY §3.2 Spark shape):
   *
@@ -247,11 +241,11 @@ class IndexBuilder(
   private def buildPostingsBody(): Unit = {
     // Phase 1 runs at the docs-parquet READ parallelism: pin the split
     // size to docsBytes/P for the duration of the stage so the map-side
-    // sort+encode gets P-way splits. Default bin-packing would coalesce
-    // the (deliberately small at test scale) docs files into a handful of
-    // fat partitions, capping exactly the stage that replaced the 128-way
-    // reduce sort — observed as 8-core postings time DOUBLING while
-    // 2-core stayed flat. Each docs file is a single row group, so
+    // accumulate+encode gets P-way splits. Default bin-packing would
+    // coalesce the (deliberately small at test scale) docs files into a
+    // handful of fat partitions, capping exactly the stage that replaced
+    // the 128-way reduce sort — observed as 8-core postings time DOUBLING
+    // while 2-core stayed flat. Each docs file is a single row group, so
     // file-granularity splits are always achievable; at production sizes
     // docsBytes/P ≥ the 128 MB default and this is a no-op.
     val docsBytes = Option(new java.io.File(docsPath).listFiles())
@@ -261,48 +255,57 @@ class IndexBuilder(
     // an unreadable/non-local docsPath lists as 0 bytes — leave the conf
     // alone rather than pinning to the floor and shredding a production
     // scan into 1 MB splits (round-3 review)
-    if (docsBytes <= 0) { buildPostingsPhases(); return }
+    if (docsBytes <= 0) { buildPostingsPhases(spark); return }
     val splitTarget = math.max(1L << 20, docsBytes / math.max(1, P))
-    val prevMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
-    val prevOpen = spark.conf.getOption("spark.sql.files.openCostInBytes")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", splitTarget.toString)
-    spark.conf.set("spark.sql.files.openCostInBytes",
-      math.min(splitTarget, 1L << 20).toString)
-    try buildPostingsPhases()
-    finally {
-      prevMax.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
-        v => spark.conf.set("spark.sql.files.maxPartitionBytes", v))
-      prevOpen.fold(spark.conf.unset("spark.sql.files.openCostInBytes"))(
-        v => spark.conf.set("spark.sql.files.openCostInBytes", v))
+    // the pin lives on a CHILD session (shared context, isolated SQLConf):
+    // mutating the shared session's conf would leak the small split sizes
+    // into any concurrent read — a query served mid-build, or a racing
+    // second build whose interleaved set/restore could stick permanently
+    // (round-3 ADVICE). newSession starts from the context defaults, so
+    // copy the parent's runtime conf first (static entries throw — skip).
+    val s2 = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v) catch { case _: Throwable => () }
     }
+    s2.conf.set("spark.sql.files.maxPartitionBytes", splitTarget.toString)
+    s2.conf.set("spark.sql.files.openCostInBytes",
+      math.min(splitTarget, 1L << 20).toString)
+    buildPostingsPhases(s2)
   }
 
-  private def buildPostingsPhases(): Unit = {
+  /** Two-phase build proper. Phase 1 (map side) is ONE mapPartitions over
+    * the docs read: tokenize and accumulate postings into per-chunk hash
+    * maps of primitive buffers, encoding partial delta+varint runs per
+    * (term, bucket) at each bounded chunk boundary (StrPhase1Iterator /
+    * GramPhase1Iterator — no tungsten sort round-trip; grouping needs
+    * contiguity, not order). Only the compressed partials (≈4-6
+    * bytes/posting vs a ~30-byte raw row) reach the shuffle; packed gram
+    * codes never shuffle at all. Phase 2 groups partials by (term, bucket)
+    * — bucket = (docId-1)/bucketSize chops hot terms into bounded
+    * disjoint docId ranges (deterministic salting) — k-way merges the
+    * pre-sorted partial streams and RE-ENCODES the full run, making final
+    * artifacts byte-identical to a single-phase build no matter how the
+    * map side chunked or partitioned.
+    *
+    * `sql` carries the per-stage read-split pin on an isolated session.
+    */
+  private def buildPostingsPhases(sql: SparkSession): Unit = {
     val stats = readStats()
     val bNormCache = spark.sparkContext.broadcast(
       Bm25.normCache(stats.avgdl.toFloat))
     val bs = bucketSize
     val trig = includeTrigrams
+    val shortG = shortContentGrams
     val lin = newLineageAcc()
     // Source from the docs stage output: docIds, normIds and the
     // indexability filter are already materialized there — one corpus
     // pass and one tokenization fewer than re-deriving from the raw input.
-    val slim = spark.read.parquet(docsPath)
+    val slim = sql.read.parquet(docsPath)
       .filter($"indexed")
       .select("docId", "path", "content", "normId")
       .as[SlimDoc]
-    // Path 1: string terms (code tokens + "s:" symbols) with tf.
-    val strTok: Dataset[TokBucket] = slim.mapPartitions { it =>
-      it.flatMap { d =>
-        tokenizeDoc(d.docId, d.path, d.content, d.normId, trigrams = false)
-          .map(p => TokBucket(p.term, p.docId, p.tf, p.normId,
-            ((p.docId - 1) / bs).toInt))
-      }
-    }
-    // phase 1: narrow in-partition sort + streaming partial-run encode
-    val strPartials: Dataset[TokPartial] = strTok
-      .sortWithinPartitions($"term", $"bucket", $"docId")
-      .mapPartitions(it => new TokPartialIterator(it, bNormCache.value))
+    val strPartials: Dataset[TokPartial] = slim.mapPartitions(it =>
+      new StrPhase1Iterator(it, bNormCache.value, bs))
     def mergePhase(partials: Dataset[TokPartial]): Dataset[PostingRun] =
       partials
         .repartition(P, $"term", $"bucket")
@@ -317,58 +320,21 @@ class IndexBuilder(
       writeLineage(lin)
       return
     }
-    // Path 2: trigram namespaces ("g:" content, "p:" path) shuffled as
-    // PACKED LONG codes — ~75% of posting volume; fixed-width long keys
-    // sort and serialize several times cheaper than 5-char strings. Term
-    // strings are reconstructed only once per (term,bucket) run at encode.
-    // Paths index ALL 1–3-gram windows (reference NgramTokenizer(1,3),
-    // indexes.rs:249) so 1–2-char fuzzy/path queries hit postings instead
-    // of scanning the path column; content is 3-grams unless
-    // shortContentGrams (repo sub-index).
-    val shortG = shortContentGrams
-    val gramTok: Dataset[GramBucket] = slim.mapPartitions { it =>
-      it.flatMap { d =>
-        val bucket = ((d.docId - 1) / bs).toInt
-        val g =
-          if (shortG) CodeTokenizer.distinctGramCodes123(d.content)
-          else CodeTokenizer.distinctTrigramCodes(d.content)
-        val p = CodeTokenizer.distinctGramCodes123(d.path)
-        val out = new Array[GramBucket](g.length + p.length)
-        var i = 0
-        while (i < g.length) {
-          out(i) = GramBucket(g(i), d.docId, d.normId, bucket); i += 1
-        }
-        var j = 0
-        while (j < p.length) {
-          out(i) = GramBucket(p(j) | PathNsBit, d.docId, d.normId, bucket)
-          i += 1; j += 1
-        }
-        out.iterator
-      }
-    }
-    // Not-indexed stubs (D7) still get "p:" PATH trigrams: the reference
-    // indexes the relative_path of oversize files too, so `path:` queries
-    // and fuzzy path autocomplete must see them even though their content
-    // is never scored (no tokens, no "g:" grams, excluded from stats).
-    val stubGrams: Dataset[GramBucket] = spark.read.parquet(docsPath)
+    // Gram namespaces ("g:" content 3-grams — 1–3-grams for the repo-name
+    // sub-index — and "p:" path 1–3-gram windows, reference
+    // NgramTokenizer(1,3) indexes.rs:249). Not-indexed stubs (D7) still
+    // get "p:" PATH grams: the reference indexes the relative_path of
+    // oversize files too, so `path:` queries and fuzzy autocomplete see
+    // them even though their content is never scored.
+    val gramPartials: Dataset[TokPartial] = slim.mapPartitions(it =>
+      new GramPhase1Iterator(it, bNormCache.value, bs, shortG, stubs = false))
+    val stubPartials: Dataset[TokPartial] = sql.read.parquet(docsPath)
       .filter(!$"indexed")
       .select("docId", "path", "content", "normId")
       .as[SlimDoc]
-      .mapPartitions { it =>
-        it.flatMap { d =>
-          val bucket = ((d.docId - 1) / bs).toInt
-          CodeTokenizer.distinctGramCodes123(d.path).iterator
-            .map(c => GramBucket(c | PathNsBit, d.docId, d.normId, bucket))
-        }
-      }
-    // gram partials keep the packed-long shuffle-avoidance one step
-    // further: codes never shuffle at all — the in-partition sort is on
-    // fixed-width longs and only the encoded partials (term string
-    // reconstructed ONCE per partial run) reach the exchange
-    val gramPartials: Dataset[TokPartial] = gramTok.union(stubGrams)
-      .sortWithinPartitions($"code", $"bucket", $"docId")
-      .mapPartitions(it => new GramPartialIterator(it, bNormCache.value))
-    mergePhase(strPartials.union(gramPartials))
+      .mapPartitions(it =>
+        new GramPhase1Iterator(it, bNormCache.value, bs, shortG, stubs = true))
+    mergePhase(strPartials.union(gramPartials).union(stubPartials))
       .write.mode("overwrite").parquet(postingsPath)
     writeLineage(lin)
   }
@@ -463,6 +429,24 @@ object IndexBuilder {
     * "g:" (content). Codes use 48 low bits (3 UTF-16 chars).
     */
   val PathNsBit: Long = 1L << 62
+
+  /** READ-time layout gate (round-3 ADVICE): ensureFormat only guards
+    * build resume — a persisted older-format root (or a version-less dir)
+    * would otherwise OPEN silently, and query paths that assume this
+    * format's postings (e.g. short path/repo grams, v9) would silently
+    * match nothing. Searcher/MultiSearcher and the incremental reader call
+    * this and fail fast instead.
+    */
+  def requireFormat(root: String): Unit = {
+    val fmt = new java.io.File(s"$root/FORMAT")
+    val found =
+      if (fmt.exists()) java.nio.file.Files.readString(fmt.toPath).trim
+      else "<missing>"
+    if (found != FormatVersion)
+      throw new IllegalStateException(
+        s"index at $root has layout '$found' but this engine expects " +
+          s"'$FormatVersion' — rebuild or compact before opening")
+  }
 
   /** Build a repo-name sub-index at `rootDir` from a one-column frame of
     * repo names (shared by the eager in-build path and the incremental
@@ -608,57 +592,259 @@ object IndexBuilder {
   }
 }
 
-/** Phase-1 grouper for the packed-gram path: consumes GramBucket rows
-  * sorted by (code, bucket, docId), emits one compressed TokPartial per
-  * (code,bucket) with the term string ("g:xyz" / "p:xyz") reconstructed
-  * once per partial — codes themselves never reach the shuffle.
+/** Growable per-term posting accumulator for the phase-1 chunk maps:
+  * parallel primitive arrays (docId; tf<<8|normId packed into an Int — tf
+  * of one term in one doc is ≤ docLen ≤ the 600 KB indexability cap, well
+  * under 2^24). Appends track docId monotonicity so the common case (docs
+  * arrive in ascending docId order within a read split) skips the sort.
   */
-private class GramPartialIterator(
-    it: Iterator[GramBucket],
-    normCache: Array[Float]) extends Iterator[TokPartial] {
-  private val buf = it.buffered
-  override def hasNext: Boolean = buf.hasNext
-  override def next(): TokPartial = {
-    val code = buf.head.code
-    val bucket = buf.head.bucket
-    val entries = new Iterator[(Long, Int, Byte)] {
-      def hasNext: Boolean =
-        buf.hasNext && buf.head.code == code && buf.head.bucket == bucket
-      def next(): (Long, Int, Byte) = {
-        val e = buf.next()
-        (e.docId, 1, e.normId)
-      }
+private final class PostBuf {
+  var ids = new Array[Long](4)
+  var tfn = new Array[Int](4)
+  var n = 0
+  var needsSort = false
+  def add(docId: Long, tf: Int, normId: Byte): Unit = {
+    if (n == ids.length) {
+      ids = java.util.Arrays.copyOf(ids, n * 2)
+      tfn = java.util.Arrays.copyOf(tfn, n * 2)
     }
-    val blocks = PostingCodec.encodeRun(entries, normCache)
-    val ns = if ((code & IndexBuilder.PathNsBit) != 0L) "p:" else "g:"
-    val term = ns + graft.tokenize.CodeTokenizer.decodeTrigram(
-      code & ~IndexBuilder.PathNsBit)
-    TokPartial(term, bucket, blocks)
+    if (n > 0 && ids(n - 1) > docId) needsSort = true
+    ids(n) = docId
+    tfn(n) = (tf << 8) | (normId & 0xff)
+    n += 1
+  }
+  /** Restore ascending docId order (a read partition can interleave files
+    * whose rank ranges are out of order). Pack (docId << 22 | index) into
+    * one long so a single primitive sort orders both arrays — docIds stay
+    * < 2^41 even at 10^12 files, and a chunk holds < 2^22 entries.
+    */
+  def sortIfNeeded(): Unit = {
+    if (!needsSort) return
+    val keys = new Array[Long](n)
+    var i = 0
+    while (i < n) { keys(i) = (ids(i) << 22) | i; i += 1 }
+    java.util.Arrays.sort(keys)
+    val ids2 = new Array[Long](n)
+    val tfn2 = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      val src = (keys(i) & 0x3fffff).toInt
+      ids2(i) = ids(src)
+      tfn2(i) = tfn(src)
+      i += 1
+    }
+    ids = ids2
+    tfn = tfn2
+    needsSort = false
   }
 }
 
-/** Phase-1 grouper: consumes TokBucket rows sorted by (term, bucket,
-  * docId) and emits one compressed TokPartial per (term,bucket) without
-  * materializing more than one partial's blocks at a time.
+/** Minimal open-addressing Long→AnyRef map (linear probing, power-of-two
+  * capacity) — the gram-code chunk index. No per-lookup boxing: the
+  * measured phase-1 limiter is allocation/memory traffic, not CPU.
+  * Key 0 is reserved (gram codes always carry a nonzero length field).
   */
-private class TokPartialIterator(
-    it: Iterator[TokBucket],
-    normCache: Array[Float]) extends Iterator[TokPartial] {
-  private val buf = it.buffered
-  override def hasNext: Boolean = buf.hasNext
+private final class LongObjMap(initialCapacity: Int) {
+  private var cap = math.max(16, Integer.highestOneBit(initialCapacity) * 2)
+  private var keys = new Array[Long](cap)
+  private var vals = new Array[AnyRef](cap)
+  private var n = 0
+  def size: Int = n
+  @inline private def hash(v: Long): Int = {
+    val h = v * -7046029254386353131L
+    (h ^ (h >>> 32)).toInt
+  }
+  def getOrNull(k: Long): AnyRef = {
+    var idx = hash(k) & (cap - 1)
+    while (true) {
+      val cur = keys(idx)
+      if (cur == k) return vals(idx)
+      if (cur == 0L) return null
+      idx = (idx + 1) & (cap - 1)
+    }
+    null
+  }
+  def put(k: Long, v: AnyRef): Unit = {
+    if (n * 4 >= cap * 3) grow()
+    var idx = hash(k) & (cap - 1)
+    while (true) {
+      val cur = keys(idx)
+      if (cur == 0L || cur == k) {
+        if (cur == 0L) n += 1
+        keys(idx) = k
+        vals(idx) = v
+        return
+      }
+      idx = (idx + 1) & (cap - 1)
+    }
+  }
+  def foreachEntry(f: (Long, AnyRef) => Unit): Unit = {
+    var i = 0
+    while (i < cap) {
+      if (keys(i) != 0L) f(keys(i), vals(i))
+      i += 1
+    }
+  }
+  private def grow(): Unit = {
+    val ok = keys
+    val ov = vals
+    cap *= 2
+    keys = new Array[Long](cap)
+    vals = new Array[AnyRef](cap)
+    n = 0
+    var i = 0
+    while (i < ok.length) {
+      if (ok(i) != 0L) put(ok(i), ov(i))
+      i += 1
+    }
+  }
+}
+
+/** Shared flush logic: split one term's accumulated entries on docId-range
+  * bucket boundaries and encode one TokPartial per (term, bucket).
+  */
+private object Phase1 {
+  /** Entries per chunk before a flush: bounds phase-1 heap to
+    * ~12 bytes/entry of primitive arrays (plus the term map) per task —
+    * the explicit spill-safety budget that replaced the tungsten sort's
+    * spill files. 2^22 also keeps PostBuf's packed sort indices valid.
+    */
+  val ChunkEntries: Int = 4 << 20
+
+  def emit(term: String, buf: PostBuf, bucketSize: Long,
+           normCache: Array[Float],
+           out: scala.collection.mutable.ArrayBuffer[TokPartial]): Unit = {
+    buf.sortIfNeeded()
+    var start = 0
+    while (start < buf.n) {
+      val bucket = ((buf.ids(start) - 1) / bucketSize).toInt
+      var end = start + 1
+      while (end < buf.n && ((buf.ids(end) - 1) / bucketSize).toInt == bucket)
+        end += 1
+      val s = start
+      val e = end
+      val entries = new Iterator[(Long, Int, Byte)] {
+        private var i = s
+        def hasNext: Boolean = i < e
+        def next(): (Long, Int, Byte) = {
+          val r = (buf.ids(i), buf.tfn(i) >>> 8, (buf.tfn(i) & 0xff).toByte)
+          i += 1
+          r
+        }
+      }
+      out += TokPartial(term, bucket, PostingCodec.encodeRun(entries, normCache))
+      start = end
+    }
+  }
+}
+
+/** Phase 1 for STRING-keyed postings (code tokens + "s:" symbols): one
+  * mapPartitions pass that tokenizes each doc and accumulates postings in
+  * a per-chunk hash map of primitive buffers, then encodes partial runs at
+  * each chunk boundary. Replaces the round-3 shape (Dataset flatMap →
+  * tungsten sortWithinPartitions → grouping iterator), which round-tripped
+  * every raw posting through UnsafeRow encode + comparison sort + decode —
+  * 3-4 extra memory passes that showed up as the postings stage's 2.78×
+  * (of 4×) core-scaling ceiling on the shared-memory host. Grouping needs
+  * only per-key contiguity, never lexical order, so a hash map does the
+  * work of the sort in one O(n) pass; the bounded chunk (Phase1
+  * .ChunkEntries) replaces sort-spill as the memory-safety valve, and the
+  * phase-2 merge is indifferent to how many partials a (term,bucket) got.
+  */
+private class StrPhase1Iterator(
+    docs: Iterator[SlimDoc],
+    normCache: Array[Float],
+    bucketSize: Long) extends Iterator[TokPartial] {
+  private val map = new java.util.HashMap[String, PostBuf]()
+  private var entries = 0
+  private var pending: Iterator[TokPartial] = Iterator.empty
+
+  override def hasNext: Boolean =
+    pending.hasNext || docs.hasNext || !map.isEmpty
+
   override def next(): TokPartial = {
-    val term = buf.head.term
-    val bucket = buf.head.bucket
-    val entries = new Iterator[(Long, Int, Byte)] {
-      def hasNext: Boolean =
-        buf.hasNext && buf.head.term == term && buf.head.bucket == bucket
-      def next(): (Long, Int, Byte) = {
-        val e = buf.next()
-        (e.docId, e.tf, e.normId)
+    while (!pending.hasNext) fill()
+    pending.next()
+  }
+
+  private def fill(): Unit = {
+    while (docs.hasNext && entries < Phase1.ChunkEntries) {
+      val d = docs.next()
+      IndexBuilder.tokenizeDoc(d.docId, d.path, d.content, d.normId,
+        trigrams = false).foreach { p =>
+        var buf = map.get(p.term)
+        if (buf == null) { buf = new PostBuf; map.put(p.term, buf) }
+        buf.add(p.docId, p.tf, p.normId)
+        entries += 1
       }
     }
-    val blocks = PostingCodec.encodeRun(entries, normCache)
-    TokPartial(term, bucket, blocks)
+    val out = scala.collection.mutable.ArrayBuffer.empty[TokPartial]
+    map.forEach((term, buf) => Phase1.emit(term, buf, bucketSize, normCache, out))
+    map.clear()
+    entries = 0
+    pending = out.iterator
+  }
+}
+
+/** Phase 1 for PACKED-GRAM postings ("g:" content / "p:" path windows):
+  * same chunked-accumulation shape as StrPhase1Iterator but keyed by the
+  * packed long gram code in an allocation-free open-addressing map — codes
+  * never materialize as strings until one term string per (code, chunk)
+  * at encode time, and never reach the shuffle at all. `stubs` restricts
+  * to path grams (metadata-only stubs index their path, never content).
+  */
+private class GramPhase1Iterator(
+    docs: Iterator[SlimDoc],
+    normCache: Array[Float],
+    bucketSize: Long,
+    shortContentGrams: Boolean,
+    stubs: Boolean) extends Iterator[TokPartial] {
+  private var map = new LongObjMap(1 << 12)
+  private var entries = 0
+  private var pending: Iterator[TokPartial] = Iterator.empty
+
+  override def hasNext: Boolean =
+    pending.hasNext || docs.hasNext || map.size > 0
+
+  override def next(): TokPartial = {
+    while (!pending.hasNext) fill()
+    pending.next()
+  }
+
+  @inline private def add(code: Long, docId: Long, normId: Byte): Unit = {
+    var buf = map.getOrNull(code).asInstanceOf[PostBuf]
+    if (buf == null) { buf = new PostBuf; map.put(code, buf) }
+    buf.add(docId, 1, normId)
+    entries += 1
+  }
+
+  private def fill(): Unit = {
+    while (docs.hasNext && entries < Phase1.ChunkEntries) {
+      val d = docs.next()
+      if (!stubs) {
+        val g =
+          if (shortContentGrams) CodeTokenizer.distinctGramCodes123(d.content)
+          else CodeTokenizer.distinctTrigramCodes(d.content)
+        var i = 0
+        while (i < g.length) { add(g(i), d.docId, d.normId); i += 1 }
+      }
+      val p = CodeTokenizer.distinctGramCodes123(d.path)
+      var j = 0
+      while (j < p.length) {
+        add(p(j) | IndexBuilder.PathNsBit, d.docId, d.normId)
+        j += 1
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[TokPartial]
+    map.foreachEntry { (code, v) =>
+      val ns = if ((code & IndexBuilder.PathNsBit) != 0L) "p:" else "g:"
+      val term = ns + CodeTokenizer.decodeTrigram(
+        code & ~IndexBuilder.PathNsBit)
+      Phase1.emit(term, v.asInstanceOf[PostBuf], bucketSize, normCache, out)
+    }
+    map = new LongObjMap(1 << 12)
+    entries = 0
+    pending = out.iterator
   }
 }
 

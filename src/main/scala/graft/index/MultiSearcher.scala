@@ -46,6 +46,9 @@ class MultiSearcher(spark0: SparkSession, generations: Seq[String],
   import spark0.implicits._
 
   require(generations.nonEmpty, "no live index generations")
+  // every generation must carry the engine's layout version — a mixed
+  // v8-base + v9-delta root must refuse to open, not half-work
+  generations.foreach(IndexBuilder.requireFormat)
 
   override lazy val repoIndex: Option[Searcher] =
     repoIndexPath.map(new Searcher(spark0, _)).orElse(

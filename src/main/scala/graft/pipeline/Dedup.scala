@@ -278,47 +278,67 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: 4 bands of 4 bits over the 16-bit simhash —
-    * docs sharing ANY exact band bucket are candidates (Hamming LSH: a
-    * pair within Hamming distance 3 differs in ≤3 of 4 bands, so by
+  /** 64-bit SimHash fingerprint, represented as FOUR 16-bit band words
+    * (doc_id, band ∈ [0,4), bucket ∈ [0,2^16)) — the Manku et al. (WWW
+    * 2007) table shape. Bit b ∈ [0,64) votes ±tf via an independent affine
+    * re-hash of the word hash ((2b+1)·wh + 1000003·b + 12345 mod P, the
+    * minhash seed family — charHash alone has only ~30 usable bits); band
+    * word = Σ_j bit(16·band+j)·2^j. Keeping the fingerprint banded avoids
+    * 64-bit sign overflow in cross-engine integer arithmetic AND is
+    * exactly the form the Hamming-LSH banding consumes.
+    */
+  def simhash64Bands(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bits = (0 until 64).toDF("bit")
+    documents
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count("*").as("tf"))
+      .withColumn("wh", charHash(col("w")))
+      .crossJoin(broadcast(bits))
+      .withColumn("vote", col("tf") *
+        (((col("wh") * (col("bit") * 2 + 1) +
+          (col("bit") * lit(1000003L) + 12345)) % HashP % 2) * 2 - 1))
+      .groupBy("doc_id", "bit")
+      .agg(sum("vote").as("v"))
+      .withColumn("band", (col("bit") / 16).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(sum(when(col("v") > 0, expr("CAST(pow(2, bit % 16) AS BIGINT)"))
+        .otherwise(0L)).as("bucket"))
+  }
+
+  /** SimHash near-dup pairs over the 64-BIT banded fingerprint: 4 bands of
+    * 16 bits — docs sharing ANY exact band word are candidates (Hamming
+    * LSH: a pair within Hamming distance 3 differs in ≤3 of 4 bands, so by
     * pigeonhole it shares at least one — recall is COMPLETE for
-    * maxHamming ≤ 3), then verified by exact Hamming distance via
-    * bit_count(xor). Output (doc_id_a, doc_id_b, hamming ≤ maxHamming).
+    * maxHamming ≤ 3), then verified by exact Hamming distance =
+    * Σ_band bit_count(xor). Output (doc_id_a, doc_id_b, hamming).
     *
-    * SCALE HONESTY (round-3 review): a 16-bit fingerprint has only 16
-    * buckets per band, so the unbounded candidate join is Θ(n²/16) — fine
-    * at oracle scale, an all-pairs explosion at corpus scale. The scale
-    * dial is `maxBucket`, exactly as in minhashCandidates: cap the bucket
-    * size allowed to emit pairs (an over-cap 4-bit bucket carries no
-    * discriminating information anyway). The production shape at 10^12
-    * docs is a WIDER fingerprint (Manku et al. use 64-bit with rotated
-    * sorted tables) + this cap; the banding/verify algebra is identical.
+    * Scale shape: 2^16 buckets per band (vs 16 for the round-3 16-bit
+    * fingerprint, whose unbounded join was Θ(n²/16)) — random-text
+    * collisions spread over 65k buckets, so candidates concentrate on
+    * genuinely near fingerprints; `maxBucket` stays available as the
+    * degenerate-bucket guard (boilerplate corpora can still pile one band
+    * word), same dial as minhashCandidates.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
                    maxBucket: Option[Int] = None): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    // one long per doc: localCheckpoint so the words-explode aggregation
-    // behind simhash runs once, not once per join branch (round-3 review)
-    val sh = simhash(documents).localCheckpoint()
-    val bands = (0 until 4).toDF("band")
-    val b = capBuckets(
-      sh.crossJoin(broadcast(bands))
-        .select(col("doc_id"),
-          expr("(simhash >> (band*4)) & 15").as("bucket"), col("band")),
-      Seq("band", "bucket"), maxBucket)
+    // 4 rows per doc: localCheckpoint so the words-explode aggregation
+    // behind the fingerprint runs once, not once per join branch
+    val sb = simhash64Bands(documents).localCheckpoint()
+    val b = capBuckets(sb, Seq("band", "bucket"), maxBucket)
     val cand = b.select(col("band"), col("bucket"), col("doc_id").as("doc_id_a"))
       .join(b.select(col("band"), col("bucket"), col("doc_id").as("doc_id_b")),
         Seq("band", "bucket"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b").distinct()
     cand
-      .join(sh.select(col("doc_id").as("doc_id_a"), col("simhash").as("ha")),
-        "doc_id_a")
-      .join(sh.select(col("doc_id").as("doc_id_b"), col("simhash").as("hb")),
-        "doc_id_b")
-      .select(col("doc_id_a"), col("doc_id_b"),
-        expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+      .join(sb.select(col("doc_id").as("doc_id_a"), col("band"),
+        col("bucket").as("ba")), "doc_id_a")
+      .join(sb.select(col("doc_id").as("doc_id_b"), col("band"),
+        col("bucket").as("bb")), Seq("doc_id_b", "band"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(sum(expr("bit_count(ba ^ bb)")).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

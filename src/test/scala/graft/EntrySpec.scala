@@ -109,9 +109,9 @@ class EntrySpec extends AnyFunSuite {
 
   test("simhashPairs: Hamming-band candidates verified by exact bit_count") {
     import spark.implicits._
-    // 1↔2 identical word multisets ⇒ identical simhash ⇒ hamming 0;
-    // 3 unrelated vocabulary (any shared band is filtered by the verify
-    // unless truly within distance 3)
+    // 1↔2 identical word multisets ⇒ identical 64-bit fingerprint ⇒
+    // hamming 0; 3 unrelated vocabulary (any shared band word is filtered
+    // by the verify unless truly within distance 3)
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
       (2L, "delta gamma beta alpha"),
@@ -121,17 +121,18 @@ class EntrySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.contains((1L, 2L, 0)))
     // every emitted pair honors the threshold, and pairs are verified
-    // against the true simhash distance
-    val sh = graft.pipeline.Dedup.simhash(docs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // against the true 64-bit fingerprint distance (Σ band bit_count)
+    val bands = graft.pipeline.Dedup.simhash64Bands(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(got.forall { case (a, b, h) =>
-      h <= 3 && java.lang.Long.bitCount(sh(a) ^ sh(b)) == h })
+      h <= 3 && (0 until 4).map(band =>
+        java.lang.Long.bitCount(bands((a, band)) ^ bands((b, band)))).sum == h })
   }
 
   test("simhashPairs maxBucket cap drops over-cap buckets' pairs only") {
     import spark.implicits._
-    // 6 near-identical docs (one shared 4-bit bucket of size 6 per band)
-    // plus one distinctive pair
+    // 6 near-identical docs (one shared 16-bit band word of size 6 per
+    // band) plus one distinctive pair
     val docs = ((1 to 6).map(i => (i.toLong, "common shared words here")) ++
       Seq((10L, "rare unique vocabulary alpha"),
         (11L, "alpha vocabulary unique rare")))
@@ -215,6 +216,61 @@ class EntrySpec extends AnyFunSuite {
     assert(top.length == 5)
     val cos = top.map(_.getDouble(1)).toSeq
     assert(cos == cos.sorted.reverse && cos.forall(c => c >= -1 && c <= 1))
+  }
+
+  test("IVF artifacts: persisted centroids/cells reproduce the inline-" +
+       "training results and survive a spec-mismatch rebuild") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val embs = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => (((i * 31 + d * 7) % 97) / 97.0f - 0.5f))))
+      .toDF("vec_id", "embedding")
+    val inline = graft.pipeline.Similarity.ivfTopK(embs, 3L, 5, nlist = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dir = TestSpark.tempDir("ivf-artifacts")
+    graft.pipeline.Similarity.buildIvfIndex(embs, dir, nlist = 4)
+    val indexed = graft.pipeline.Similarity.ivfTopKIndexed(embs, dir, 3L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed == inline,
+      "persisted-artifact query must equal the inline-training spec")
+    // resume: a second build is a no-op (same SPEC marker + _SUCCESS)
+    val mtime = new java.io.File(s"$dir/cells/_SUCCESS").lastModified()
+    graft.pipeline.Similarity.buildIvfIndex(embs, dir, nlist = 4)
+    assert(new java.io.File(s"$dir/cells/_SUCCESS").lastModified() == mtime)
+    // spec change (different nlist) must rebuild, not resume stale cells
+    graft.pipeline.Similarity.buildIvfIndex(embs, dir, nlist = 8)
+    val spec = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/SPEC"))
+    assert(spec.contains("nlist=8"))
+  }
+
+  test("lshTopK multi-probe: deterministic, ordered, and bucket-bounded") {
+    import spark.implicits._
+    val embs = (0L until 80L).map(i =>
+      (i, Array.tabulate(8)(d => (((i * 17 + d * 11) % 101) / 101.0f - 0.5f))))
+      .toDF("vec_id", "embedding")
+    val a = graft.pipeline.Similarity.lshTopK(embs, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = graft.pipeline.Similarity.lshTopK(embs, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b, "probe choice must be deterministic")
+    assert(a.nonEmpty && a.map(_._2) == a.map(_._2).sorted.reverse)
+    // every candidate's bucket is within `probeBits` sign flips of the
+    // query's bucket, and every flipped plane is one of the query's
+    // lowest-|proj| planes
+    val projs = graft.pipeline.Similarity.lshProjections(embs, 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val buckets = graft.pipeline.Similarity.lshBuckets(embs, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qb = buckets(0L)
+    val flipSet = (0 until 6).sortBy(h => (math.abs(projs((0L, h))), h))
+      .take(3).map(h => 1L << h).toSet
+    a.foreach { case (v, _) =>
+      val diff = buckets(v) ^ qb
+      assert((0 until 6).forall(h =>
+        (diff & (1L << h)) == 0L || flipSet.contains(1L << h)),
+        s"vec $v bucket outside the ranked probe set")
+    }
   }
 
   test("minhashCandidates giant-bucket cap drops degenerate buckets only") {

@@ -425,6 +425,57 @@ class IncrementalSpec extends AnyFunSuite {
     assert(names == want, "stale docs stage must not survive the refresh")
   }
 
+  test("read-time FORMAT gate: a stale-layout root refuses to open") {
+    val root = TestSpark.tempDir("inc-format-gate")
+    new IndexBuilder(spark, root, bucketSize = 64).build(corpusA)
+    new Searcher(spark, root).stats // current format opens fine
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/FORMAT"), "graft-index-v8")
+    val e = intercept[IllegalStateException](new Searcher(spark, root))
+    assert(e.getMessage.contains("graft-index-v8"))
+    // and an incremental root with a stale generation refuses ingest
+    val incRoot = TestSpark.tempDir("inc-format-gate2")
+    val inc = new IncrementalIndexer(spark, incRoot, bucketSize = 64)
+    inc.buildBase(corpusA)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$incRoot/base/FORMAT"), "graft-index-v8")
+    intercept[IllegalStateException](inc.ingest(corpusB))
+  }
+
+  test("refresh-intent marker: a crashed mutation forces the liveDocs " +
+       "bootstrap on the next refresh (round-3 ADVICE)") {
+    val root = TestSpark.tempDir("inc-refresh-intent")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    val aRepos = corpusA.select("repo").distinct().collect()
+      .map(_.getString(0)).toSet
+    def names(): Set[String] = {
+      val p = inc.repoIndexPath.get
+      spark.read.parquet(s"$p/docs").select("repo").collect()
+        .map(_.getString(0)).toSet
+    }
+    // forceBootstrap ignores (possibly wrong/lost) increments and heals
+    // from the live docs — the crash-recovery path
+    inc.refreshRepoIndex(added = Some(Seq("ghost/zzz").toDF("repo")),
+      forceBootstrap = true)
+    assert(names() == aRepos, "bootstrap must ignore the bogus increment")
+    // the incremental path WOULD have trusted it — the two paths differ
+    inc.refreshRepoIndex(added = Some(Seq("ghost/zzz").toDF("repo")))
+    assert(names() == aRepos + "ghost/zzz")
+    // a surviving marker (simulated crash between delta commit and
+    // refresh) is cleared by the next completed mutation, which bootstraps
+    // — the ghost name a plain incremental refresh would have kept is gone
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/REPO_REFRESH_INTENT"), "pending")
+    inc.ingest(corpusB)
+    val bRepos = corpusB.select("repo").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(names() == aRepos ++ bRepos,
+      "post-crash ingest must heal the name set from liveDocs")
+    assert(!new java.io.File(s"$root/REPO_REFRESH_INTENT").exists(),
+      "completed refresh must clear the intent marker")
+  }
+
   test("structured streaming ingest drains arriving corpus files") {
     val root = TestSpark.tempDir("inc-stream")
     val inDir = TestSpark.tempDir("inc-stream-in")
