@@ -131,7 +131,11 @@ object Bench {
 
     // ANN recall@10 vs the brute-force scan (k-means-refined IVF and
     // multi-probe LSH) — quality alongside the latency numbers; the IVF
-    // rows come from the timed run above (no retraining just for recall)
+    // rows come from the timed run above (no retraining just for recall).
+    // candidate_frac = fraction of the corpus the probe actually scans:
+    // recall without its cost is not a quality number (BENCH notes carry
+    // the measured LSH recall/fraction grid for this corpus).
+    val nVecs = embs.count().toDouble
     val brute10 = Similarity.cosineTopK(embs, 0L, 10).collect()
       .map(_.getLong(0)).toSet
     val ivf10 = ivfRows.map(_.getLong(0)).toSet
@@ -139,6 +143,10 @@ object Bench {
       .map(_.getLong(0)).toSet
     results += "ivf_recall_at10" -> brute10.intersect(ivf10).size / 10.0
     results += "lsh_recall_at10" -> brute10.intersect(lsh10).size / 10.0
+    results += "ivf_candidate_frac" ->
+      Similarity.ivfCandidates(embs, ivfDir, 0L).count() / nVecs
+    results += "lsh_candidate_frac" ->
+      Similarity.lshCandidates(embs, 0L).count() / nVecs
     val (_, tCc) = timed(
       Dedup.duplicateClusters(Dedup.minhashStarEdges(docs)).count())
     results += "dedup_clusters" -> tCc
@@ -165,7 +173,8 @@ object Bench {
     // double-counted every build second and added ratios as seconds)
     val aggregateKeys = Set("index_build", "index_build_synth20k")
     val total = results.iterator.collect {
-      case (k, v) if !aggregateKeys(k) && !k.endsWith("_recall_at10") => v
+      case (k, v) if !aggregateKeys(k) && !k.endsWith("_recall_at10") &&
+        !k.endsWith("_candidate_frac") => v
     }.sum
     val fps = nFiles / tBuild
     val fpsSynth = 20000.0 / tSynth

@@ -198,9 +198,13 @@ object SparkEntry {
     "e_tweaked_search" -> ((s, d) => // DocumentTweaker, double witness
       indexFor(s, d).searchDoubleWitness("merge", "join", 50,
         tweakedNow = Some(1700000000L))),
-    "e_lang_stats" -> ((s, d) => { // FrequencyCollector over full hit set
+    "e_lang_stats" -> ((s, d) => { // C4 FrequencyCollector THROUGH the
+      // one-pass page face (C7 MultiCollector): the histogram comes from
+      // executePage's single cached candidate pass, full hit set
+      import s.implicits._
       val se = indexFor(s, d)
-      se.langStats(se.searchLiteral("merge", AllK).toDF())
+      new graft.engine.QueryExecutor(se).executePage("merge", 10)
+        .langStats.toDF("lang", "count")
     }),
     "e_query_language" -> ((s, d) => { // parse→DNF→branch union, full set
       val se = indexFor(s, d)
@@ -216,6 +220,11 @@ object SparkEntry {
         .join(se.docs.select("docId", "repo", "path"), "docId")
         .select("docId", "repo", "path")
     }),
+    "e_path_highlight" -> ((s, d) => // path highlight ranges on FILE hits
+      // (executeAny file rows carry the path-pattern highlight column)
+      new graft.engine.QueryExecutor(indexFor(s, d))
+        .executeAny("path:oc/1 merge", AllK)
+        .select(col("path"), size(col("highlights")).as("n_highlights"))),
     "e_symbol_search" -> ((s, d) => { // "s:" namespace over derived code
       val se = codeIndexFor(s, d)
       new graft.engine.QueryExecutor(se)
@@ -294,6 +303,11 @@ object SparkEntry {
       new graft.engine.QueryExecutor(orgIndexFor(s, d))
         .executeRepo("org:acme repo:rc1", AllK)
         .select("name")),
+    "e_case_search" -> ((s, d) => // exact-case "c:" namespace scoring
+      // (case:sensitive parity) through the double-precision witness over
+      // a mixed-case derived corpus — capitalized first words carry
+      // different df/tf than their lowercase twins
+      caseIndexFor(s, d).searchDoubleWitness("c:Merge", "c:join", 50)),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(emb(s, d), 0L, 10)),
     "e_ivf_topk" -> ((s, d) => { // train-once artifacts + indexed query —
       // the production IVF shape (round-3 VERDICT: no per-query retrain)
@@ -330,6 +344,27 @@ object SparkEntry {
   private def codeIndexFor(s: SparkSession, d: String): Searcher = {
     val root = s"/tmp/graft-codeidx-${d.replaceAll("[^a-zA-Z0-9.]", "_")}"
     new IndexBuilder(s, root, bucketSize = 1024).build(codeCorpus(s, d))
+    new Searcher(s, root)
+  }
+
+  /** Derived MIXED-CASE corpus: even doc_ids capitalize their first
+    * character, so exact-case term statistics ("c:Merge" vs "c:merge")
+    * genuinely differ from the lowercased ones — the case:sensitive
+    * scoring-parity witness corpus (format v10).
+    */
+  private def caseCorpus(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("source").as("repo"),
+      concat(lit("case/"), col("doc_id")).as("path"),
+      lit("main").as("commit"),
+      col("lang"),
+      when(col("doc_id") % 2 === 0,
+        concat(upper(substring(col("text"), 1, 1)), expr("substring(text, 2)")))
+        .otherwise(col("text")).as("content"))
+
+  private def caseIndexFor(s: SparkSession, d: String): Searcher = {
+    val root = s"/tmp/graft-caseidx-${d.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    new IndexBuilder(s, root, bucketSize = 1024).build(caseCorpus(s, d))
     new Searcher(s, root)
   }
 
@@ -685,6 +720,15 @@ object SparkEntry {
            |SELECT i."docId", i.repo, i.path FROM ids i
            |WHERE contains(i.path, 'oc/1')
            |  AND i."docId" IN (SELECT "docId" FROM idw WHERE w = 'merge')""".stripMargin,
+      "e_path_highlight" -> // every file hit's path highlight count under
+        // the quoted 'oc/1' pattern (paths are lowercase; non-overlapping
+        // find() occurrences — mirror of Snippets.highlight)
+        s"""WITH $idWords
+           |SELECT i.path,
+           |  CAST(len(regexp_extract_all(i.path, 'oc/1')) AS INT) AS n_highlights
+           |FROM ids i
+           |WHERE contains(i.path, 'oc/1')
+           |  AND i."docId" IN (SELECT "docId" FROM idw WHERE w = 'merge')""".stripMargin,
       "e_symbol_search" ->
         """SELECT source AS repo, 'code/' || doc_id AS path
           |FROM documents WHERE split_part(text, ' ', 1) = 'merge'""".stripMargin,
@@ -727,6 +771,36 @@ object SparkEntry {
           |  || source AS name
           |FROM documents
           |WHERE doc_id % 2 = 0 AND contains(lower(source), 'rc1')""".stripMargin,
+      "e_case_search" -> // double-BM25 witness over the CASED word stream
+        // of the mixed-case corpus (mirror of caseCorpus +
+        // searchDoubleWitness("c:Merge","c:join") — exact-case tf/df)
+        """WITH corpus AS (
+          |  SELECT source AS repo, 'case/' || doc_id AS path, 'main' AS cmt,
+          |         CASE WHEN doc_id % 2 = 0
+          |              THEN upper(substr(text,1,1)) || substr(text,2)
+          |              ELSE text END AS content
+          |  FROM documents),
+          |ids AS (
+          |  SELECT CAST(row_number() OVER (
+          |           ORDER BY sha256(repo || chr(0) || path || chr(0) || cmt))
+          |         AS BIGINT) AS "docId", repo, path, content
+          |  FROM corpus),
+          |idw AS (SELECT "docId", w FROM (
+          |    SELECT "docId", unnest(string_split(content,' ')) AS w FROM ids)
+          |  WHERE w <> ''),
+          |lens AS (SELECT "docId", count(*) AS dl FROM idw GROUP BY "docId"),
+          |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM lens),
+          |tf AS (SELECT "docId", w, count(*) AS tf FROM idw GROUP BY "docId", w),
+          |s1 AS (SELECT "docId", tf AS tf1 FROM tf WHERE w = 'Merge'),
+          |s2 AS (SELECT "docId", tf AS tf2 FROM tf WHERE w = 'join'),
+          |d1 AS (SELECT count(*) AS df1 FROM s1),
+          |d2 AS (SELECT count(*) AS df2 FROM s2)
+          |SELECT i."docId", i.repo, i.path, round(
+          |  ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5)) * 2.2 * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+          |  ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5)) * 2.2 * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)), 4) AS score
+          |FROM s1 JOIN s2 USING ("docId") JOIN lens USING ("docId") JOIN ids i USING ("docId")
+          |CROSS JOIN stats CROSS JOIN d1 CROSS JOIN d2
+          |ORDER BY score DESC, "docId" LIMIT 50""".stripMargin,
       "e_lsh_topk" -> // query-adaptive multi-probe: flip-mask set = every
         // subset of the 3 planes with smallest |proj| for the query
         // (mirrors Similarity.lshTopK probeBits=3; ties by plane id)

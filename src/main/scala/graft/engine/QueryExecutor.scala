@@ -62,6 +62,20 @@ private[engine] case class PageRow(docId: Long, score: Float, repo: String,
 /** Repo-search result row (executeRepo output shape). */
 private[engine] case class RepoHit(repoId: Long, name: String, score: Float)
 
+/** Materialized file hit fed to the executor-side path-highlight pass
+  * (tuple encoders resolve positional _1/_2 names, not column names).
+  */
+private[engine] case class FileHitRow(docId: Long, score: Float,
+                                      repo: String, path: String)
+
+/** One-pass page metadata result (executePage): the ≤k page, the total
+  * hit count, and the full-hit-set lang/repo histograms, harvested from a
+  * single cached candidate pass.
+  */
+case class PageMeta(topk: Seq[Hit], total: Long,
+                    langStats: Seq[(String, Long)],
+                    repoStats: Seq[(String, Long)])
+
 /** One snippeted search-page row (executeWithSnippets output). */
 private[engine] case class SnippetRow(docId: Long, score: Float,
                                       repo: String, path: String,
@@ -104,21 +118,27 @@ object ReaderKind {
 class QueryExecutor(searcher: Searcher) {
   import searcher.spark.implicits._
 
-  def execute(input: String, k: Int): Dataset[Hit] = {
+  def execute(input: String, k: Int): Dataset[Hit] =
+    executeAllHits(input).orderBy($"score".desc, $"docId".asc).limit(k)
+
+  /** Full scored hit set of a query, unordered and un-limited — the shared
+    * candidate pass that execute() tops and executePage() harvests
+    * metadata from. A pure metadata listing stays a pushed-down filter
+    * with constant score (zero shuffles once TakeOrdered applies —
+    * all-0f scores make the (score desc, docId asc) page order equal the
+    * old docId-asc listing order); a single branch never enters the
+    * union/groupByKey (its hits are already one-per-doc).
+    */
+  def executeAllHits(input: String): Dataset[Hit] = {
     val branches = QueryParser.parse(input)
     if (branches.size == 1) {
       val b = branches.head
       if (b.target.isEmpty && !pathIsScored(b)) {
-        // pure metadata listing: pushed-down filter + TakeOrdered, zero
-        // shuffles — equals the general path's result because every hit
-        // scores 0f and the tie-break is docId asc
         val fd = filterDocs(b, includePath = true)
           .getOrElse(searcher.docs.select($"docId"))
-        return fd.orderBy($"docId".asc).limit(k)
-          .select($"docId", lit(0f).as("score")).as[Hit]
+        return fd.select($"docId", lit(0f).as("score")).as[Hit]
       }
-      // one branch ⇒ hits are already unique per doc: skip union/groupByKey
-      return branchHits(b).orderBy($"score".desc, $"docId".asc).limit(k)
+      return branchHits(b)
     }
     val hitsPerBranch: Seq[Dataset[(Long, Int, Float)]] =
       branches.zipWithIndex.map { case (b, i) =>
@@ -133,8 +153,36 @@ class QueryExecutor(searcher: Searcher) {
         while (i < arr.length) { s += arr(i)._3; i += 1 }
         Hit(docId, s)
       }
-      .orderBy($"score".desc, $"docId".asc)
-      .limit(k)
+  }
+
+  /** One-pass page metadata (C7 MultiCollector; reference
+    * query/execute.rs:486-489 harvests top-k + total count + lang/repo
+    * frequency stats in ONE segment pass). Spark shape: the scored
+    * candidate set joins its metadata columns ONCE and is cached; the
+    * page, the count and both histograms are then actions over the cached
+    * frame — postings and docs parquet are scanned a single time
+    * (PlanSpec asserts the histogram plans read the InMemory relation).
+    * Histograms cover the FULL hit set, like FrequencyCollector
+    * (collector/frequency.rs:10-65), and are #langs / #repos-of-the-hit-
+    * set sized — page-level driver results by the reference's own
+    * contract.
+    */
+  def executePage(input: String, k: Int): PageMeta = {
+    import searcher.spark.implicits._
+    val hits = executeAllHits(input).toDF()
+      .join(searcher.docs.select($"docId", $"lang", $"repo"), "docId")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val topk = hits.select($"docId", $"score")
+        .orderBy($"score".desc, $"docId".asc).limit(k).as[Hit]
+        .collect().toSeq
+      val total = hits.count()
+      val langs = hits.groupBy($"lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+      val repos = hits.groupBy($"repo").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+      PageMeta(topk, total, langs, repos)
+    } finally hits.unpersist()
   }
 
   /** Whether this branch's path label takes the scored-priority-field
@@ -194,16 +242,20 @@ class QueryExecutor(searcher: Searcher) {
       case ContentTarget(l) if l.isRegex || b.globalRegex.contains(true) =>
         searcher.regexAll(l.value, caseSens)
           .select($"docId", $"score").as[Hit]
-      case ContentTarget(l) =>
-        val terms = CodeTokenizer.tokenize(l.value).distinct.sorted.toSeq
+      case ContentTarget(l) if !caseSens =>
+        scoreConjunctive(CodeTokenizer.tokenize(l.value).distinct.sorted.toSeq)
+      case ContentTarget(l) => // case:sensitive: score the "c:" exact-case
+        // namespace (df/tf per case variant — the reference's
+        // case-preserved term statistics, compiler.rs:235-312; round-3
+        // scored the LOWERCASED stats, a documented divergence now closed),
+        // then byte-verify the raw literal (exact doc set, format v10)
+        val terms = CodeTokenizer.tokenizeCased(l.value).distinct.sorted
+          .map("c:" + _).toSeq
         val base = scoreConjunctive(terms)
-        if (!caseSens) base
-        else { // exact-literal post-verify, case-sensitive
-          val pat = java.util.regex.Pattern.quote(l.value)
-          base.toDF().join(searcher.docs, "docId")
-            .filter(regexp_like($"content", lit(pat)))
-            .select($"docId", $"score").as[Hit]
-        }
+        val pat = java.util.regex.Pattern.quote(l.value)
+        base.toDF().join(searcher.docs, "docId")
+          .filter(regexp_like($"content", lit(pat)))
+          .select($"docId", $"score").as[Hit]
       case SymbolTarget(l) =>
         val terms = CodeTokenizer.tokenize(l.value).distinct.sorted
           .map("s:" + _).toSeq
@@ -452,30 +504,51 @@ class QueryExecutor(searcher: Searcher) {
 
   /** Dispatched heterogeneous entry point (the reference's query_with,
     * query/execute.rs:344-390): routes to the winning reader and returns a
-    * uniform (kind, id, name, path, score) frame — Content/File rows are
-    * file hits (name = repo), Repo rows are repo-name hits, Open rows are
+    * uniform (kind, id, name, path, score, highlights) frame —
+    * Content/File rows are file hits (name = repo) whose `highlights` are
+    * (start, end) char ranges of the query's PATH patterns on the path
+    * (reference file results highlight relative_path,
+    * query/execute.rs:603-607 via snippet.rs:296+); Repo rows carry the
+    * repo-NAME highlight ranges (executeRepoHighlightedDF); Open rows are
     * directory entries (path = entry, score 0, id 0, is_dir encoded as
-    * kind "dir"/"file-entry"). Throws on a query no reader accepts.
+    * kind "dir"/"file-entry", no highlights). Highlight passes run
+    * executor-side over the ≤k winners. Throws on a query no reader
+    * accepts.
     */
   def executeAny(input: String, k: Int): DataFrame = {
+    import searcher.spark.implicits._
     dispatch(input) match {
       case Some(ReaderKind.Content) | Some(ReaderKind.File) =>
+        // path labels match case-insensitively (filterDocs/pathHits), so
+        // their highlight ranges do too
+        val pathPatterns = QueryParser.parse(input).flatMap(_.path)
+          .filter(l => l.isRegex || l.value.nonEmpty)
+          .map(l => if (l.isRegex) l.value
+                    else java.util.regex.Pattern.quote(l.value))
         execute(input, k).toDF()
           .join(searcher.docs.select($"docId", $"repo", $"path"), "docId")
-          .select(lit("file").as("kind"), $"docId".as("id"),
-            $"repo".as("name"), $"path", $"score")
+          .select($"docId", $"score", $"repo", $"path")
+          .as[FileHitRow]
+          .map { r =>
+            val hls = pathPatterns.flatMap(p =>
+              Snippets.highlight(r.path, p, caseSensitive = false))
+              .distinct.sorted
+            ("file", r.docId, r.repo, r.path, r.score, hls)
+          }
+          .toDF("kind", "id", "name", "path", "score", "highlights")
           .orderBy($"score".desc, $"id".asc)
       case Some(ReaderKind.Repo) =>
-        executeRepo(input, k)
+        executeRepoHighlightedDF(input, k)
           .select(lit("repo").as("kind"), $"repoId".as("id"), $"name",
-            lit(null: String).as("path"), $"score")
+            lit(null: String).as("path"), $"score", $"highlights")
       case Some(ReaderKind.Open) =>
         // deterministic listing page: distinct() has no order, so the
         // limit must follow an explicit sort
         executeOpen(input).orderBy($"repo", $"entry").limit(k)
           .select(when($"is_dir", lit("dir")).otherwise(lit("file-entry"))
             .as("kind"), lit(0L).as("id"), $"repo".as("name"),
-            $"entry".as("path"), lit(0f).as("score"))
+            $"entry".as("path"), lit(0f).as("score"),
+            typedLit(Seq.empty[(Int, Int)]).as("highlights"))
       case None =>
         throw new IllegalArgumentException(s"mangled query: $input")
     }

@@ -25,7 +25,7 @@ private case class TokPartial(term: String, bucket: Int,
                               blocks: Seq[Block])
 
 private case class SlimDoc(docId: Long, path: String, content: String,
-                           normId: Byte)
+                           normId: Byte, lang: String)
 
 private case class KeyedRow(bucket: Int, docKey: String, repo: String,
                             path: String, commit: String, lang: String,
@@ -302,7 +302,7 @@ class IndexBuilder(
     // pass and one tokenization fewer than re-deriving from the raw input.
     val slim = sql.read.parquet(docsPath)
       .filter($"indexed")
-      .select("docId", "path", "content", "normId")
+      .select("docId", "path", "content", "normId", "lang")
       .as[SlimDoc]
     val strPartials: Dataset[TokPartial] = slim.mapPartitions(it =>
       new StrPhase1Iterator(it, bNormCache.value, bs))
@@ -330,7 +330,7 @@ class IndexBuilder(
       new GramPhase1Iterator(it, bNormCache.value, bs, shortG, stubs = false))
     val stubPartials: Dataset[TokPartial] = sql.read.parquet(docsPath)
       .filter(!$"indexed")
-      .select("docId", "path", "content", "normId")
+      .select("docId", "path", "content", "normId", "lang")
       .as[SlimDoc]
       .mapPartitions(it =>
         new GramPhase1Iterator(it, bNormCache.value, bs, shortG, stubs = true))
@@ -423,7 +423,8 @@ object IndexBuilder {
   /** Index layout version — bump on any schema/codec/tokenizer-spec change
     * so cached index directories cannot be resumed across layouts.
     */
-  val FormatVersion = "graft-index-v9" // v9: 1–3-gram path/repo-name windows
+  // v10: "c:" exact-case token namespace + per-language symbol grammars
+  val FormatVersion = "graft-index-v10"
 
   /** Namespace bit for packed trigram codes: set = "p:" (path), clear =
     * "g:" (content). Codes use 48 low bits (3 UTF-16 chars).
@@ -532,34 +533,40 @@ object IndexBuilder {
   }
 
   /** Tokenize one doc into raw postings. Namespaces (SURVEY §2.3):
-    *   - plain code tokens with tf (the BM25-scored `content` field);
+    *   - plain code tokens with tf (the BM25-scored `content` field,
+    *     lowercased — one-lookup case-insensitive queries);
+    *   - "c:" exact-CASE tokens with tf (`case:sensitive` scoring parity:
+    *     the reference stores case-preserved terms, compiler.rs:235-312);
     *   - "g:" distinct lowercase content trigrams (regex prefilter — the
     *     analog of the reference's 1–3-gram index, T1/T2);
     *   - "p:" distinct path trigrams (fuzzy path search,
     *     indexes/file.rs:234-351);
     *   - "s:" symbol-definition tokens with tf (the `symbols` field,
-    *     indexes/file.rs:704-711, via the regex extractor — D5).
+    *     indexes/file.rs:704-711, via the per-language extractor — D5).
     */
   def tokenizeDoc(docId: Long, path: String, content: String, normId: Byte,
-                  trigrams: Boolean): Iterator[RawPosting] = {
+                  trigrams: Boolean, lang: String = ""): Iterator[RawPosting] = {
     val (terms, counts, _) = CodeTokenizer.termFreqArrays(content)
     val toks = terms.indices.iterator.map(i =>
       RawPosting(terms(i), docId, counts(i), normId))
+    val (cTerms, cCounts, _) = CodeTokenizer.termFreqArraysCased(content)
+    val cased = cTerms.indices.iterator.map(i =>
+      RawPosting("c:" + cTerms(i), docId, cCounts(i), normId))
     val symTf = scala.collection.mutable.HashMap.empty[String, Int]
-    graft.tokenize.SymbolExtractor.symbolTerms(content).foreach { t =>
+    graft.tokenize.SymbolExtractor.symbolTerms(content, lang).foreach { t =>
       symTf.update(t, symTf.getOrElse(t, 0) + 1)
     }
     val syms = symTf.iterator.map { case (t, f) =>
       RawPosting("s:" + t, docId, f, normId)
     }
-    if (!trigrams) toks ++ syms
+    if (!trigrams) toks ++ cased ++ syms
     else {
       // allocation-light distinct trigrams (the map-side scaling hot spot);
       // paths take the full 1–3-gram surface like the packed-long path
       val grams = CodeTokenizer.distinctTrigrams(content, "g:")
       val pGrams = CodeTokenizer.distinctGramCodes123(path)
         .map(c => "p:" + CodeTokenizer.decodeTrigram(c))
-      toks ++ syms ++
+      toks ++ cased ++ syms ++
         grams.iterator.map(g => RawPosting(g, docId, 1, normId)) ++
         pGrams.iterator.map(g => RawPosting(g, docId, 1, normId))
     }
@@ -771,7 +778,7 @@ private class StrPhase1Iterator(
     while (docs.hasNext && entries < Phase1.ChunkEntries) {
       val d = docs.next()
       IndexBuilder.tokenizeDoc(d.docId, d.path, d.content, d.normId,
-        trigrams = false).foreach { p =>
+        trigrams = false, lang = d.lang).foreach { p =>
         var buf = map.get(p.term)
         if (buf == null) { buf = new PostBuf; map.put(p.term, buf) }
         buf.add(p.docId, p.tf, p.normId)

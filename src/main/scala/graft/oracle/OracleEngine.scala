@@ -32,8 +32,8 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)],
 
   case class ODoc(docId: Long, repo: String, path: String, commit: String,
                   lang: String, content: String, tf: Map[String, Int],
-                  symTf: Map[String, Int], grams: Set[String],
-                  pGrams: Set[String], docLen: Int,
+                  casedTf: Map[String, Int], symTf: Map[String, Int],
+                  grams: Set[String], pGrams: Set[String], docLen: Int,
                   normId: Byte, indexed: Boolean, branch: String)
 
   val docs: Vector[ODoc] = {
@@ -51,21 +51,24 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)],
           // stubs keep their PATH grams (mirror of the stubGrams path in
           // IndexBuilder.buildPostingsBody): path search sees them. Paths
           // take the full 1–3-gram window surface (format v9).
-          ODoc(i + 1L, r, p, c, l, "", Map.empty, Map.empty, Set.empty,
-            CodeTokenizer.distinctGrams123(p).toSet, 0, 0.toByte,
+          ODoc(i + 1L, r, p, c, l, "", Map.empty, Map.empty, Map.empty,
+            Set.empty, CodeTokenizer.distinctGrams123(p).toSet, 0, 0.toByte,
             indexed = false, branch = br)
         else {
           val (tf, docLen) = CodeTokenizer.termFreqs(content)
+          // exact-case tf twin (the "c:" namespace, format v10)
+          val (cT, cC, _) = CodeTokenizer.termFreqArraysCased(content)
+          val casedTf = cT.indices.map(i2 => cT(i2) -> cC(i2)).toMap
           val g =
             if (shortContentGrams) CodeTokenizer.distinctGrams123(content).toSet
             else CodeTokenizer.distinctTrigrams(content).toSet
           val pg = CodeTokenizer.distinctGrams123(p).toSet
           val sym = mutable.HashMap.empty[String, Int]
-          graft.tokenize.SymbolExtractor.symbolTerms(content).foreach { t =>
+          graft.tokenize.SymbolExtractor.symbolTerms(content, l).foreach { t =>
             sym.update(t, sym.getOrElse(t, 0) + 1)
           }
-          ODoc(i + 1L, r, p, c, l, content, tf.toMap, sym.toMap, g, pg,
-            docLen, SmallFloat.intToByte4(docLen), indexed = true,
+          ODoc(i + 1L, r, p, c, l, content, tf.toMap, casedTf, sym.toMap,
+            g, pg, docLen, SmallFloat.intToByte4(docLen), indexed = true,
             branch = br)
         }
       }.toVector
@@ -87,6 +90,13 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)],
   val symDf: Map[String, Long] = {
     val m = mutable.HashMap.empty[String, Long]
     docs.foreach(_.symTf.keys.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1)))
+    m.toMap
+  }
+  /** exact-case term → df ("c:" namespace) */
+  val casedDf: Map[String, Long] = {
+    val m = mutable.HashMap.empty[String, Long]
+    docs.foreach(_.casedTf.keys.foreach(t =>
+      m.update(t, m.getOrElse(t, 0L) + 1)))
     m.toMap
   }
   /** content trigram → df */
@@ -231,17 +241,20 @@ class OracleEngine(rows: Seq[(String, String, String, String, String)],
         case ContentTarget(l)
             if l.isRegex || b.globalRegex.contains(true) =>
           regexHitsAll(l.value, caseSens)
-        case ContentTarget(l) =>
-          val base = conjunctiveHits(
+        case ContentTarget(l) if !caseSens =>
+          conjunctiveHits(
             CodeTokenizer.tokenize(l.value).distinct.sorted.toSeq,
             d => d.tf, df)
-          if (!caseSens) base
-          else {
-            val pat = java.util.regex.Pattern.compile(
-              java.util.regex.Pattern.quote(l.value))
-            base.filter { case (id, _) =>
-              pat.matcher(byId(id).content).find()
-            }
+        case ContentTarget(l) => // case:sensitive scores the EXACT-CASE
+          // namespace (reference case-preserved terms, compiler.rs:235-312)
+          // then byte-verifies the raw literal — format v10 parity
+          val base = conjunctiveHits(
+            CodeTokenizer.tokenizeCased(l.value).distinct.sorted.toSeq,
+            d => d.casedTf, casedDf)
+          val pat = java.util.regex.Pattern.compile(
+            java.util.regex.Pattern.quote(l.value))
+          base.filter { case (id, _) =>
+            pat.matcher(byId(id).content).find()
           }
         case SymbolTarget(l) =>
           conjunctiveHits(

@@ -304,8 +304,11 @@ object Similarity {
     * engine); candidates stay a pushed-down bucket-id IN filter, scanning
     * 2^probeBits of 2^numPlanes buckets at any corpus size.
     */
-  def lshTopK(embeddings: DataFrame, queryId: Long, k: Int,
-              numPlanes: Int = 6, probeBits: Int = 3): DataFrame = {
+  /** Candidate vec_ids of the multi-probe query — exposed so benchmarks
+    * can report the scanned fraction next to the recall they buy.
+    */
+  def lshCandidates(embeddings: DataFrame, queryId: Long,
+                    numPlanes: Int = 6, probeBits: Int = 3): DataFrame = {
     val projs = lshProjections(embeddings, numPlanes)
     // numPlanes tiny rows: the query's per-plane projections drive both
     // its bucket id and the flip ranking
@@ -319,14 +322,41 @@ object Similarity {
       qBucket ^ flips.zipWithIndex
         .collect { case (h, i) if ((s >> i) & 1) == 1 => 1L << h }.sum
     }
+    lshBuckets(embeddings, numPlanes)
+      .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select("vec_id")
+  }
+
+  def lshTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              numPlanes: Int = 6, probeBits: Int = 3): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
-    embeddings.join(lshBuckets(embeddings, numPlanes), "vec_id")
-      .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
+    embeddings
+      .join(lshCandidates(embeddings, queryId, numPlanes, probeBits), "vec_id")
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q_embedding")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Candidate vec_ids of the persisted-IVF probe (bench fraction twin of
+    * lshCandidates).
+    */
+  def ivfCandidates(embeddings: DataFrame, dir: String, queryId: Long,
+                    nprobe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    val probes = cents.crossJoin(broadcast(q))
+      .select(col("cid"), qdotQ(col("cent"), qarr(col("q_embedding"))).as("qdot"))
+      .orderBy(col("qdot").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid").as("cell"))
+    spark.read.parquet(s"$dir/cells")
+      .join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= queryId)
+      .select("vec_id")
   }
 }

@@ -32,7 +32,18 @@ object CodeTokenizer {
     *  4. letter↔digit transitions do NOT split (`utf8` stays one token);
     *  5. everything lowercased (ASCII+Unicode lower).
     */
-  def tokenize(s: String): Array[String] = {
+  def tokenize(s: String): Array[String] = tokenize(s, lower = true)
+
+  /** Case-PRESERVING tokenization: identical split rules, no lowercasing —
+    * feeds the "c:" exact-case posting namespace that `case:sensitive`
+    * scoring runs on (reference terms are stored case-preserved and
+    * case-insensitive queries permute, compiler.rs:235-312; we keep the
+    * lowercased namespace for one-lookup insensitive queries and this one
+    * for exact-case parity, SURVEY §7.3).
+    */
+  def tokenizeCased(s: String): Array[String] = tokenize(s, lower = false)
+
+  private def tokenize(s: String, lower: Boolean): Array[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     val n = s.length
     var i = 0
@@ -41,7 +52,7 @@ object CodeTokenizer {
       while (i < n && !isWordChar(s.charAt(i))) i += 1
       val start = i
       while (i < n && isWordChar(s.charAt(i))) i += 1
-      if (i > start) splitWord(s, start, i, out)
+      if (i > start) splitWord(s, start, i, out, lower)
     }
     out.toArray
   }
@@ -52,8 +63,15 @@ object CodeTokenizer {
     * count, where allocation rate — not CPU — was the measured scaling
     * limiter (see ScalingBench history).
     */
-  def termFreqArrays(s: String): (Array[String], Array[Int], Int) = {
-    val toks = tokenize(s)
+  def termFreqArrays(s: String): (Array[String], Array[Int], Int) =
+    termFreqFromTokens(tokenize(s))
+
+  /** Exact-case term frequencies (the "c:" namespace's tf source). */
+  def termFreqArraysCased(s: String): (Array[String], Array[Int], Int) =
+    termFreqFromTokens(tokenizeCased(s))
+
+  private def termFreqFromTokens(
+      toks: Array[String]): (Array[String], Array[Int], Int) = {
     val len = toks.length
     if (len == 0) return (Array.empty, Array.empty, 0)
     java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]])
@@ -228,10 +246,12 @@ object CodeTokenizer {
       (c >= '0' && c <= '9') || c == '_'
 
   /** Split s[from,until) (a `[A-Za-z0-9_]+` word) on '_' and camel
-    * boundaries; lowercase; append non-empty pieces to out.
+    * boundaries; lowercase unless `lower` is off; append non-empty pieces
+    * to out.
     */
   private def splitWord(s: String, from: Int, until: Int,
-                        out: mutable.ArrayBuffer[String]): Unit = {
+                        out: mutable.ArrayBuffer[String],
+                        lower: Boolean = true): Unit = {
     var segStart = from
     var i = from
     while (i <= until) {
@@ -243,7 +263,11 @@ object CodeTokenizer {
         if (i > segStart) {
           val b = new Array[Char](i - segStart)
           var k = segStart
-          while (k < i) { b(k - segStart) = lowerChar(s.charAt(k)); k += 1 }
+          while (k < i) {
+            b(k - segStart) =
+              if (lower) lowerChar(s.charAt(k)) else s.charAt(k)
+            k += 1
+          }
           out += new String(b)
         }
         segStart = if (i < until && s.charAt(i) == '_') i + 1 else i

@@ -79,9 +79,16 @@ class EngineSpec extends AnyFunSuite {
   test("dict df matches oracle df (token namespace)") {
     val engineDf = searcher.dict
       .filter(!$"term".startsWith("g:") && !$"term".startsWith("p:") &&
-        !$"term".startsWith("s:"))
+        !$"term".startsWith("s:") && !$"term".startsWith("c:"))
       .collect().map(d => d.term -> d.df).toMap
     assert(engineDf == oracle.df)
+  }
+
+  test("dict df matches oracle df (exact-case 'c:' namespace, format v10)") {
+    val engineDf = searcher.dict
+      .filter($"term".startsWith("c:"))
+      .collect().map(d => d.term.stripPrefix("c:") -> d.df).toMap
+    assert(engineDf == oracle.casedDf)
   }
 
   for (q <- literalQueries; k <- Seq(10, 100)) {

@@ -32,6 +32,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("In(term"), plan.take(2000))
   }
 
+  test("executePage composition: histogram actions read the cached " +
+       "candidate pass, not a second postings/docs scan (C7 one-pass)") {
+    val exec = new graft.engine.QueryExecutor(searcher)
+    val hits = exec.executeAllHits("parse").toDF()
+      .join(searcher.docs.select($"docId", $"lang", $"repo"), "docId")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      hits.count() // materialize the one scan
+      val plan = planOf(hits.groupBy($"lang").count())
+      val cacheAt = plan.indexOf("InMemoryTableScan")
+      assert(cacheAt >= 0, plan.take(3000))
+      // everything ABOVE the cache read must be cache-fed — a FileScan
+      // before it would mean the histogram rescans parquet (the printed
+      // InMemoryRelation child below it is the cached plan, not a rescan)
+      assert(!plan.substring(0, cacheAt).contains("FileScan"),
+        s"histogram must not rescan parquet:\n${plan.take(3000)}")
+    } finally hits.unpersist()
+  }
+
   test("postings scan for a query prunes the blocks of other terms via " +
        "min/max (sorted by term at write)") {
     // can't read row-group stats here, but the scan must at least not

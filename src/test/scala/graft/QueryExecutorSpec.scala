@@ -70,6 +70,61 @@ class QueryExecutorSpec extends AnyFunSuite {
       Seq("parse", "token"))
   }
 
+  test("per-language symbol grammars return definitions only (D5 precision)") {
+    // snippets shaped after the reference's per-language scope-graph test
+    // corpora (intelligence/language/<lang>/mod.rs)
+    val go =
+      """package main
+        |import "net/http"
+        |func (s *Server) Handle(w http.ResponseWriter) {}
+        |func main() { result := compute() }
+        |type Config struct { Port int }
+        |var count int = 0
+        |const MaxSize = 10""".stripMargin
+    assert(SymbolExtractor.symbolNames(go, "go") ==
+      Seq("Handle", "main", "Config", "count", "MaxSize"))
+    val rust =
+      """pub fn parse(input: &str) -> Token {}
+        |struct Token { kind: Kind }
+        |impl Token { fn new(&mut self) -> Self {} }
+        |pub trait Reader {}
+        |fn run() { let mut total = 0; }""".stripMargin
+    // `impl` is not a definition head in the rust table; `let mut x`
+    // defines x, and `&mut self` defines nothing
+    assert(SymbolExtractor.symbolNames(rust, "rust") ==
+      Seq("parse", "Token", "new", "Reader", "run", "total"))
+    val java =
+      """public class HttpServer {
+        |  private static final int MAX = 10;
+        |  public void handle() {}
+        |}
+        |interface Handler {}""".stripMargin
+    // modifier chains resolve to the definition keyword: no more
+    // "public class X" → symbol "class"; methods stay undetected (the
+    // documented tree-sitter gap)
+    assert(SymbolExtractor.symbolNames(java, "java") ==
+      Seq("HttpServer", "Handler"))
+    val python =
+      """def parse_token(x):
+        |    return class_of(x)
+        |class HttpServer(Base):
+        |    def handle(self): pass
+        |result = parse_token(1)""".stripMargin
+    assert(SymbolExtractor.symbolNames(python, "python") ==
+      Seq("parse_token", "HttpServer", "handle"))
+    val ts =
+      """export interface Config {}
+        |export default function main() {}
+        |const handler = () => {}
+        |let counter: number = 0
+        |const enum Flags {}""".stripMargin
+    // keyword-in-identifier-position restarts: `const enum Flags` → Flags
+    assert(SymbolExtractor.symbolNames(ts, "typescript") ==
+      Seq("Config", "main", "handler", "counter", "Flags"))
+    // unknown lang falls back to the generic union table
+    assert(SymbolExtractor.symbolNames("fn alpha()", "en") == Seq("alpha"))
+  }
+
   test("snippets: match expansion, merge, highlights (snippet.rs semantics)") {
     val content = "line one\nline two match here\nline three\nline four\nmatch again\nlast line\n"
     val lineEnds = {
@@ -320,6 +375,42 @@ class QueryExecutorSpec extends AnyFunSuite {
     assert(hr.size == 10 && hr.forall { case (_, n, _, h) =>
       h.nonEmpty && h.forall { case (s, e) =>
         n.substring(s, e).matches("(?i)org[0-9]") } })
+  }
+
+  test("executePage: one-pass metadata equals the separate faces (C7)") {
+    val q = "repo:repo1 parse"
+    val pm = exec.executePage(q, 5)
+    val wantTop = exec.execute(q, 5).collect().toSeq
+    assert(pm.topk == wantTop)
+    val all = exec.execute(q, 100000).toDF()
+    assert(pm.total == all.count())
+    val wantLangs = searcher.langStats(all).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    assert(pm.langStats == wantLangs)
+    val wantRepos = searcher.repoStats(all).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    assert(pm.repoStats == wantRepos)
+  }
+
+  test("executeAny file hits carry path highlight ranges (execute.rs:603-607)") {
+    val f = exec.executeAny("path:mod1 if", 50).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val path = r.getString(3)
+      val hls = r.getSeq[org.apache.spark.sql.Row](5)
+        .map(h => (h.getInt(0), h.getInt(1)))
+      assert(hls.nonEmpty, s"path '$path' must highlight the path literal")
+      hls.foreach { case (s, e) =>
+        assert(path.substring(s, e).equalsIgnoreCase("mod1"),
+          s"range ($s,$e) of '$path'")
+      }
+    }
+    // a query with no path label highlights nothing on file hits
+    val bare = exec.executeAny("parse", 5).collect()
+    assert(bare.forall(_.getSeq[org.apache.spark.sql.Row](5).isEmpty))
+    // repo rows keep their name highlights through executeAny
+    val r = exec.executeAny("repo:repo1", 5).collect()
+    assert(r.forall(_.getSeq[org.apache.spark.sql.Row](5).nonEmpty))
   }
 
   test("executeAny routes to the winning reader (query_with analog)") {
