@@ -105,6 +105,14 @@ object SparkEntry {
       // analog; small budget so the small-SF docs split into several
       // chunks — production default is 256/64)
       TextOps.chunks(docs(s, d), budget = 16, overlap = 4)),
+    "q_pii_scrub" -> ((s, d) => // PII redaction over a derived corpus with
+      // deterministically injected e-mail / IPv4 / id-number strings (the
+      // synthetic text carries none) — both engines derive the same rows
+      TextOps.piiScrub(docs(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" user"), col("doc_id"),
+          lit("@mail.example.com from 10.0."), col("doc_id") % 256,
+          lit(".7 id 123456"), col("doc_id")).as("text")))),
+    "q_repetition" -> ((s, d) => TextOps.repetitionRatio(docs(s, d))),
     "q_langid" -> ((s, d) => TextOps.langIdScore(docs(s, d))),
     "q_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
     "q_stopword_filter" -> ((s, d) => TextOps.stopwordFiltered(docs(s, d))),
@@ -613,6 +621,35 @@ object SparkEntry {
           |  array_to_string(toks[i*12+1 : i*12+16], ' ') AS chunk,
           |  CAST(len(toks[i*12+1 : i*12+16]) AS INT) AS n_tokens
           |FROM x""".stripMargin,
+      "q_pii_scrub" -> { // mirror of TextOps.piiScrub over the injected
+        // corpus; DuckDB regexp_replace needs the 'g' flag (Spark replaces
+        // all occurrences by default)
+        val em = TextOps.EmailRegex
+        val ip = TextOps.Ipv4Regex
+        val num = TextOps.LongDigitsRegex
+        s"""WITH t AS (SELECT doc_id,
+           |    text || ' user' || doc_id || '@mail.example.com from 10.0.' ||
+           |    (doc_id % 256) || '.7 id 123456' || doc_id AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+           |    '$num', '<NUM>', 'g') AS cleaned,
+           |  CAST(len(regexp_extract_all(text, '$em'))
+           |    + len(regexp_extract_all(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ip'))
+           |    + len(regexp_extract_all(regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$num'))
+           |    AS INT) AS n_redactions
+           |FROM t""".stripMargin
+      },
+      "q_repetition" ->
+        s"""SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           |  round(CAST(max_tf AS DOUBLE) / n_words, 4) AS top_word_ratio,
+           |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 4) AS repeated_mass
+           |FROM (SELECT doc_id, sum(tf) AS n_words, max(tf) AS max_tf,
+           |        count(*) AS n_distinct
+           |      FROM (SELECT doc_id, w, count(*) AS tf FROM ($words)
+           |            GROUP BY doc_id, w)
+           |      GROUP BY doc_id)""".stripMargin,
       "q_langid" ->
         """SELECT doc_id, lang,
           |  round(CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)

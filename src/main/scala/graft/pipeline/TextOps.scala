@@ -145,6 +145,54 @@ object TextOps {
     * per-row work bounded by the doc's own length — scales to any corpus
     * size. SQL-mirrorable (integer boundaries only).
     */
+  /** PII scrubbing: mask e-mail addresses, IPv4 literals and long digit
+    * runs (id-number shaped) — the standard pre-training redaction pass.
+    * Pure `regexp_replace` chain (codegen'd, shuffle-free); patterns are
+    * restricted to constructs with identical semantics in Java regex and
+    * RE2 so the DuckDB oracle can mirror byte-for-byte. Returns
+    * (doc_id, cleaned, n_redactions).
+    */
+  // bracket classes instead of backslash escapes: the patterns embed in
+  // Spark SQL string literals (where backslashes are escape chars) AND in
+  // DuckDB literals (where they are not) — escape-free means one spelling
+  // behaves identically in both
+  val EmailRegex = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
+  val Ipv4Regex = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+  val LongDigitsRegex = "[0-9][0-9][0-9][0-9][0-9][0-9]+" // 6+ digits
+  def piiScrub(documents: DataFrame,
+               textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRegex, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Regex, "<IP>")
+    val t3 = regexp_replace(t2, LongDigitsRegex, "<NUM>")
+    val n = size(expr(s"regexp_extract_all($textCol, '$EmailRegex', 0)")) +
+      size(expr(s"regexp_extract_all(regexp_replace($textCol, '$EmailRegex', '<EMAIL>'), '$Ipv4Regex', 0)")) +
+      size(expr(
+        s"regexp_extract_all(regexp_replace(regexp_replace($textCol, '$EmailRegex', '<EMAIL>'), '$Ipv4Regex', '<IP>'), '$LongDigitsRegex', 0)"))
+    documents.select(col("doc_id"), t3.as("cleaned"),
+      n.cast("int").as("n_redactions"))
+  }
+
+  /** Repetition-ratio quality metrics: the dominant-word share
+    * (max tf / n_words) and the repeated-word mass (1 − distinct/total) —
+    * the cheap boilerplate/spam detectors a pre-training filter stack
+    * runs before anything expensive. One explode + per-doc aggregate
+    * (map-side combinable), SQL-mirrorable exactly.
+    */
+  def repetitionRatio(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count("*").as("tf"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_words"),
+        max("tf").as("max_tf"),
+        count("*").as("n_distinct"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("max_tf").cast("double") / col("n_words"), 4)
+          .as("top_word_ratio"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4)
+          .as("repeated_mass"))
+
   def chunks(documents: DataFrame, budget: Int = 256,
              overlap: Int = 64): DataFrame = {
     require(budget > overlap && overlap >= 0,

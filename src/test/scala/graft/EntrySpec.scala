@@ -273,6 +273,29 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("piiScrub masks emails, IPv4s and long digit runs, counting each") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob.smith@corp.example.org at 192.168.0.1 acct 12345678 ok"),
+      (2L, "clean text only"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TextOps.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got(1L) == (("contact <EMAIL> at <IP> acct <NUM> ok", 3)))
+    assert(got(2L) == (("clean text only", 0)))
+  }
+
+  test("repetitionRatio flags dominant-word boilerplate") {
+    import spark.implicits._
+    val docs = Seq((1L, "spam spam spam spam ham"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TextOps.repetitionRatio(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((5L, 0.8, 0.6)))
+    assert(got(2L) == ((4L, 0.25, 0.0)))
+  }
+
   test("minhashCandidates giant-bucket cap drops degenerate buckets only") {
     import spark.implicits._
     // 6 identical docs -> one clique bucket per band; 2 distinct docs
