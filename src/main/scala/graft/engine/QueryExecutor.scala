@@ -357,7 +357,8 @@ class QueryExecutor(searcher: Searcher) {
         case (pat, false, cs) =>
           Snippets.forDoc(r.content, r.lineEnds, pat, cs)
         case (pat, true, cs) =>
-          Snippets.forDocSymbols(r.content, r.lineEnds, pat, cs)
+          Snippets.forDocSymbols(r.content, r.lineEnds, pat, cs,
+            lang = r.lang)
       }
       val snips = raw
         .groupBy(s => (s.lineStart, s.lineEnd, s.data))

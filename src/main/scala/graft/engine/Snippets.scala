@@ -100,9 +100,17 @@ object Snippets {
     */
   def forDocSymbols(content: String, lineEnds: Array[Int], pattern: String,
                     caseSensitive: Boolean = false,
-                    context: Int = 1): Seq[Snippet] =
+                    context: Int = 1,
+                    /** language id of the doc: symbol ranges must come
+                      * from the SAME per-language grammar the index's
+                      * "s:" terms were extracted with, or hits matched
+                      * via language-specific keywords (rust `mod`, scala
+                      * `given`, …) would render zero snippets (round-4
+                      * review).
+                      */
+                    lang: String = ""): Seq[Snippet] =
     forDoc(content, lineEnds, pattern, caseSensitive, context,
-      Some(graft.tokenize.SymbolExtractor.symbolRanges(content)))
+      Some(graft.tokenize.SymbolExtractor.symbolRanges(content, lang)))
 
   /** Highlight ranges of a pattern inside a short string (path / repo-name
     * results — reference HighlightedString.apply_regex, snippet.rs:296+).

@@ -276,7 +276,16 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
                        forceBootstrap: Boolean = false): Unit = {
     val names =
       (if (forceBootstrap) liveDocs().map(_.select($"repo"))
-       else liveRepoNames(added, removed)).getOrElse(return)
+       else liveRepoNames(added, removed)) match {
+        case Some(n) => n
+        case None =>
+          // nothing to refresh (no live docs, no sub-index): the pending
+          // intent is vacuously served — a leaked marker would force the
+          // full liveDocs bootstrap on every later mutation (round-4
+          // review)
+          intentMarker.delete()
+          return
+      }
     val v = repoIndexVersions().lastOption.getOrElse(0) + 1
     val dst = s"$root/repoIndex-$v"
     // a crashed partial build of this version could otherwise RESUME: its

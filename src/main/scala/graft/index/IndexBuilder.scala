@@ -532,20 +532,21 @@ object IndexBuilder {
     bytes <= 600000 && lines <= 20001
   }
 
-  /** Tokenize one doc into raw postings. Namespaces (SURVEY §2.3):
+  /** Tokenize one doc into its STRING-keyed raw postings. Namespaces
+    * (SURVEY §2.3):
     *   - plain code tokens with tf (the BM25-scored `content` field,
     *     lowercased — one-lookup case-insensitive queries);
     *   - "c:" exact-CASE tokens with tf (`case:sensitive` scoring parity:
     *     the reference stores case-preserved terms, compiler.rs:235-312);
-    *   - "g:" distinct lowercase content trigrams (regex prefilter — the
-    *     analog of the reference's 1–3-gram index, T1/T2);
-    *   - "p:" distinct path trigrams (fuzzy path search,
-    *     indexes/file.rs:234-351);
     *   - "s:" symbol-definition tokens with tf (the `symbols` field,
     *     indexes/file.rs:704-711, via the per-language extractor — D5).
+    * The gram namespaces ("g:" content trigrams, "p:" path 1–3-grams) are
+    * owned exclusively by GramPhase1Iterator's packed-code path — the old
+    * string-building trigram branch here was a dead duplicate of that
+    * logic (round-4 review).
     */
-  def tokenizeDoc(docId: Long, path: String, content: String, normId: Byte,
-                  trigrams: Boolean, lang: String = ""): Iterator[RawPosting] = {
+  def tokenizeDoc(docId: Long, content: String, normId: Byte,
+                  lang: String = ""): Iterator[RawPosting] = {
     val (terms, counts, _) = CodeTokenizer.termFreqArrays(content)
     val toks = terms.indices.iterator.map(i =>
       RawPosting(terms(i), docId, counts(i), normId))
@@ -559,17 +560,7 @@ object IndexBuilder {
     val syms = symTf.iterator.map { case (t, f) =>
       RawPosting("s:" + t, docId, f, normId)
     }
-    if (!trigrams) toks ++ cased ++ syms
-    else {
-      // allocation-light distinct trigrams (the map-side scaling hot spot);
-      // paths take the full 1–3-gram surface like the packed-long path
-      val grams = CodeTokenizer.distinctTrigrams(content, "g:")
-      val pGrams = CodeTokenizer.distinctGramCodes123(path)
-        .map(c => "p:" + CodeTokenizer.decodeTrigram(c))
-      toks ++ cased ++ syms ++
-        grams.iterator.map(g => RawPosting(g, docId, 1, normId)) ++
-        pGrams.iterator.map(g => RawPosting(g, docId, 1, normId))
-    }
+    toks ++ cased ++ syms
   }
 
   /** Wrap a stage's per-partition output iterator with row counting, output
@@ -766,19 +757,25 @@ private class StrPhase1Iterator(
   private var entries = 0
   private var pending: Iterator[TokPartial] = Iterator.empty
 
-  override def hasNext: Boolean =
-    pending.hasNext || docs.hasNext || !map.isEmpty
+  // hasNext LOOKS AHEAD through chunks: a chunk of docs can legitimately
+  // produce zero postings (empty indexed files tokenize to nothing), and a
+  // `pending.hasNext || docs.hasNext` answer would send next() into an
+  // unbounded fill loop on such a tail (round-4 review)
+  override def hasNext: Boolean = {
+    while (!pending.hasNext && docs.hasNext) fill()
+    pending.hasNext
+  }
 
   override def next(): TokPartial = {
-    while (!pending.hasNext) fill()
+    if (!hasNext) throw new NoSuchElementException("phase-1 exhausted")
     pending.next()
   }
 
   private def fill(): Unit = {
     while (docs.hasNext && entries < Phase1.ChunkEntries) {
       val d = docs.next()
-      IndexBuilder.tokenizeDoc(d.docId, d.path, d.content, d.normId,
-        trigrams = false, lang = d.lang).foreach { p =>
+      IndexBuilder.tokenizeDoc(d.docId, d.content, d.normId,
+        lang = d.lang).foreach { p =>
         var buf = map.get(p.term)
         if (buf == null) { buf = new PostBuf; map.put(p.term, buf) }
         buf.add(p.docId, p.tf, p.normId)
@@ -810,11 +807,14 @@ private class GramPhase1Iterator(
   private var entries = 0
   private var pending: Iterator[TokPartial] = Iterator.empty
 
-  override def hasNext: Boolean =
-    pending.hasNext || docs.hasNext || map.size > 0
+  // chunk lookahead — same zero-posting-tail guard as StrPhase1Iterator
+  override def hasNext: Boolean = {
+    while (!pending.hasNext && docs.hasNext) fill()
+    pending.hasNext
+  }
 
   override def next(): TokPartial = {
-    while (!pending.hasNext) fill()
+    if (!hasNext) throw new NoSuchElementException("phase-1 exhausted")
     pending.next()
   }
 

@@ -206,22 +206,33 @@ object Similarity {
       embeddings.select(col("vec_id"), qarr(col("embedding")).as("qe")),
       ivfCentroids(embeddings, nlist, lloydIters))
 
+  /** The `nprobe` cells whose centroids best match the query (exact
+    * integer dot, ties to the smaller cid) — the ONE probe-selection
+    * spec, shared by the query path and the bench candidate-fraction
+    * metric so the reported scanned fraction can never describe a
+    * different candidate set than the query scans.
+    */
+  private def ivfProbes(embeddings: DataFrame, cents: DataFrame,
+                        queryId: Long, nprobe: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    cents.crossJoin(broadcast(q))
+      .select(col("cid"), qdotQ(col("cent"), qarr(col("q_embedding"))).as("qdot"))
+      .orderBy(col("qdot").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid").as("cell"))
+  }
+
   /** Probe-and-scan tail shared by the inline-training and the persisted
-    * IVF query paths: pick the `nprobe` cells whose centroids best match
-    * the query (exact integer dot), brute-force cosine only within them.
+    * IVF query paths: brute-force cosine only within the probed cells.
     */
   private def ivfProbeScan(embeddings: DataFrame, cents: DataFrame,
                            cells: DataFrame, queryId: Long, k: Int,
                            nprobe: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
-    val probes = cents.crossJoin(broadcast(q))
-      .select(col("cid"), qdotQ(col("cent"), qarr(col("q_embedding"))).as("qdot"))
-      .orderBy(col("qdot").desc, col("cid").asc)
-      .limit(nprobe)
-      .select(col("cid").as("cell"))
     embeddings.join(cells, "vec_id")
-      .join(broadcast(probes), "cell")
+      .join(broadcast(ivfProbes(embeddings, cents, queryId, nprobe)), "cell")
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"),
@@ -259,10 +270,18 @@ object Similarity {
     */
   def buildIvfIndex(embeddings: DataFrame, dir: String, nlist: Int = 16,
                     lloydIters: Int = 2): Unit = {
-    // spec marker (algorithm version + train params): a cached dir built
-    // under a different Lloyd spec must rebuild, not resume — the same
-    // stale-layout guard as IndexBuilder's FORMAT file
-    val spec = s"graft-ivf-v1 nlist=$nlist iters=$lloydIters"
+    // spec marker = algorithm version + train params + a cheap DATA
+    // fingerprint (row count, vec_id sum, quantized first-component sum):
+    // a cached dir built under a different Lloyd spec OR over regenerated
+    // data at the same path must rebuild, not serve stale cells (round-4
+    // review) — the same stale-layout guard as IndexBuilder's FORMAT file
+    val fp = embeddings.agg(
+      count("*").as("n"),
+      coalesce(sum(col("vec_id")), lit(0L)).as("sv"),
+      coalesce(sum(floor(element_at(col("embedding"), 1).cast("double")
+        * 10000).cast("long")), lit(0L)).as("se")).head()
+    val spec = s"graft-ivf-v1 nlist=$nlist iters=$lloydIters " +
+      s"data=${fp.getLong(0)}/${fp.getLong(1)}/${fp.getLong(2)}"
     val marker = new java.io.File(s"$dir/SPEC")
     val fresh = marker.exists() &&
       java.nio.file.Files.readString(marker.toPath).trim == spec
@@ -346,16 +365,9 @@ object Similarity {
   def ivfCandidates(embeddings: DataFrame, dir: String, queryId: Long,
                     nprobe: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
-    val cents = spark.read.parquet(s"$dir/centroids")
-    val q = embeddings.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_embedding"))
-    val probes = cents.crossJoin(broadcast(q))
-      .select(col("cid"), qdotQ(col("cent"), qarr(col("q_embedding"))).as("qdot"))
-      .orderBy(col("qdot").desc, col("cid").asc)
-      .limit(nprobe)
-      .select(col("cid").as("cell"))
     spark.read.parquet(s"$dir/cells")
-      .join(broadcast(probes), "cell")
+      .join(broadcast(ivfProbes(embeddings,
+        spark.read.parquet(s"$dir/centroids"), queryId, nprobe)), "cell")
       .filter(col("vec_id") =!= queryId)
       .select("vec_id")
   }

@@ -200,6 +200,27 @@ class EngineSpec extends AnyFunSuite {
       "compressed posting bytes must be partition-count-invariant")
   }
 
+  test("postings build completes when every doc tokenizes to nothing " +
+       "(phase-1 chunk lookahead; zero-token files are indexed stubs of " +
+       "the token namespaces but still carry path grams)") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("r0", "a.gitkeep", "c1", "text", ""),
+      ("r0", "b.bin", "c1", "text", "!!! ... ###"),
+      ("r0", "mod1/c.keep", "c1", "text", "--- ---"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val root = TestSpark.tempDir("zero-token-docs")
+    // pre-fix this HUNG: StrPhase1Iterator.hasNext saw docs remaining,
+    // next() filled chunks that never produced a partial, and the fill
+    // loop never terminated
+    new IndexBuilder(spark, root, bucketSize = 64).build(corpus)
+    val se = new Searcher(spark, root)
+    assert(se.stats.n == 3 && se.stats.totalTokens == 0)
+    // the path namespace still indexed: a path search finds the doc
+    assert(new graft.engine.QueryExecutor(se)
+      .execute("path:mod1", 10).count() == 1)
+  }
+
   test("resume after simulated failure reproduces identical artifacts") {
     val root = TestSpark.tempDir("engine-resume")
     val b = new IndexBuilder(spark, root, bucketSize = 64, numPartitions = 4)

@@ -220,8 +220,10 @@ class QueryExecutorSpec extends AnyFunSuite {
     val sp = exec.executeWithSnippets("symbol:read", k).collect()
     sp.foreach { r =>
       val d = oracle.docs((r.getLong(0) - 1).toInt)
+      // symbol ranges derive from the doc's OWN language grammar, the
+      // same table the "s:" index terms were extracted with
       val snips = Snippets.forDocSymbols(d.content, lineEnds(d.content),
-        "\\Qread\\E")
+        "\\Qread\\E", lang = d.lang)
       assert(r.getInt(5) == snips.size, s"doc ${r.getLong(0)} (symbol mode)")
     }
     // untargeted queries page without snippets

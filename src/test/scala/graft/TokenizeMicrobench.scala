@@ -30,11 +30,12 @@ object TokenizeMicrobench {
     bench("trigrams", d => graft.tokenize.CodeTokenizer.distinctTrigrams(d, "g:").length)
     bench("symbols", d => graft.tokenize.SymbolExtractor.symbolTerms(d).length)
     bench("full", { d =>
-      val it = graft.index.IndexBuilder.tokenizeDoc(1L, "src/a.rs", d,
-        graft.score.SmallFloat.intToByte4(100), trigrams = true)
+      // string namespaces + the packed-gram surface the build actually runs
+      val it = graft.index.IndexBuilder.tokenizeDoc(1L, d,
+        graft.score.SmallFloat.intToByte4(100), lang = "rust")
       var n = 0
       while (it.hasNext) { it.next(); n += 1 }
-      n
+      n + graft.tokenize.CodeTokenizer.distinctTrigramCodes(d).length
     })
   }
 }
