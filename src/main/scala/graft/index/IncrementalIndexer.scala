@@ -49,15 +49,21 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
   def generations(): Seq[String] = {
     finishCompaction()
     finishMerge()
-    val base = new java.io.File(basePath)
-    val deltas = (1 to deltaCount()).map(deltaPath)
-    val gens =
-      (if (new java.io.File(base, "docs/_SUCCESS").exists()) Seq(base.getPath)
-       else Seq.empty) ++ deltas
+    val gens = rawGenerations()
     // refuse to ingest onto / read from a stale-layout generation (round-3
-    // ADVICE): a v8 base with a v9 delta would silently half-work
+    // ADVICE): a v8 base with a v9 delta would silently half-work.
+    // migrate() is the upgrade path (it enumerates via rawGenerations).
     gens.foreach(IndexBuilder.requireFormat)
     gens
+  }
+
+  /** Generation dirs by on-disk markers only — no layout-version gate.
+    * migrate() reads through this to rebuild stale-format roots.
+    */
+  private def rawGenerations(): Seq[String] = {
+    val base = new java.io.File(basePath)
+    (if (new java.io.File(base, "docs/_SUCCESS").exists()) Seq(base.getPath)
+     else Seq.empty) ++ (1 to deltaCount()).map(deltaPath)
   }
 
   def buildBase(corpus: DataFrame): Unit =
@@ -122,7 +128,15 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     *      existing ones.
     * Returns the number of newly indexed rows.
     */
-  def ingest(batch: DataFrame): Long = {
+  def ingest(batch: DataFrame): Long = ingest(batch, crashAfterDelta = false)
+
+  /** Test face: `crashAfterDelta` stops right after the delta generation
+    * commits — the crash window between the delta and its re-add
+    * tombstones that healIngest() must recover.
+    */
+  private[graft] def ingest(batch: DataFrame,
+                            crashAfterDelta: Boolean): Long = {
+    healIngest()
     val withSha =
       if (batch.columns.contains("contentSha")) batch
       else batch.withColumn("contentSha", sha2($"content", 256))
@@ -152,22 +166,30 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     // compact() (round-3 ADVICE). A surviving marker forces the next
     // refresh onto the self-healing liveDocs bootstrap path.
     val staleIntent = beginRepoMutation()
-    // tombstone old versions of keys being re-added (update = delete+add,
-    // reference indexes.rs:244 semantics)
-    liveDocs().foreach { live =>
-      val stale = live.join(
-        freshDf.select($"repo", $"path", $"commit"),
-        Seq("repo", "path", "commit"), "left_semi")
-        .select($"docId")
-      if (stale.limit(1).count() > 0) appendTombstones(stale)
-    }
     val offset = maxDocId()
+    // DELTA FIRST, re-add tombstones AFTER (round-4 review): the round-3
+    // order (tombstone, then build) permanently LOST documents when a
+    // crash hit between the two — old versions already dead, new versions
+    // never committed, and the freshness anti-join would skip an
+    // identical re-ingest. In this order the worst crash state is
+    // duplicates (old + new both live), and the TOMBSTONE_INTENT marker
+    // written before the build lets healIngest() finish the delete on the
+    // next mutation/searcher. The marker carries (gen, offset) so healing
+    // can tell old versions (docId ≤ offset) from the delta's own rows.
+    java.nio.file.Files.writeString(tombstoneIntentMarker.toPath,
+      s"$gen $offset")
     // deltas skip the per-generation repo sub-index; the live-set repo
     // index is refreshed out of band below (the reference likewise
     // rewrites its Repo index out of band of file deltas, indexes/repo.rs)
     val builder = new IndexBuilder(spark, deltaPath(gen), bucketSize,
       docIdOffset = offset, includeRepoIndex = false)
     builder.build(freshDf)
+    if (crashAfterDelta) { rmDir(staging); return freshCount }
+    // tombstone old versions of keys being re-added (update = delete+add,
+    // reference indexes.rs:244 semantics) — live rows with docId ≤ offset
+    // are by construction not the delta's own
+    tombstoneStaleVersions(deltaPath(gen), offset)
+    tombstoneIntentMarker.delete()
     rmDir(staging)
     // added names come from the just-committed delta's own docs — a
     // column-pruned scan of ONE generation, O(batch)
@@ -177,6 +199,58 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     freshCount
   }
 
+  /** Tombstone every live OLD version (docId ≤ offset) of the keys the
+    * committed delta at `dp` re-added. Shared by the normal ingest path
+    * and healIngest's crash replay; idempotent (a second run finds no
+    * live old versions).
+    */
+  private def tombstoneStaleVersions(dp: String, offset: Long): Unit = {
+    liveDocs().foreach { live =>
+      val keys = spark.read.parquet(s"$dp/docs")
+        .select($"repo", $"path", $"commit")
+      val stale = live.filter($"docId" <= offset)
+        .join(keys, Seq("repo", "path", "commit"), "left_semi")
+        .select($"docId")
+      if (stale.limit(1).count() > 0) appendTombstones(stale)
+    }
+  }
+
+  private def tombstoneIntentMarker =
+    new java.io.File(s"$root/TOMBSTONE_INTENT")
+
+  /** Crash healing for the ingest pipeline, run at the head of every
+    * mutation and of searcher() — deliberately NOT from generations()
+    * (liveDocs would recurse):
+    *   - a counted delta missing its dict/_SUCCESS is a crashed PARTIAL
+    *     build: remove it — in the round-4 ordering its old versions were
+    *     not yet tombstoned, so dropping it restores the pre-ingest state
+    *     (and un-breaks generations(), which would otherwise hand readers
+    *     a postings-less dir);
+    *   - a TOMBSTONE_INTENT marker naming a fully committed delta means
+    *     the crash hit between the delta commit and the re-add tombstone
+    *     append: old versions of the delta's keys are still live
+    *     (duplicate results) — finish the delete now.
+    */
+  private def healIngest(): Unit = {
+    var n = deltaCount()
+    while (n >= 1 &&
+        !new java.io.File(deltaPath(n), "dict/_SUCCESS").exists()) {
+      rmDir(deltaPath(n))
+      n -= 1
+    }
+    val m = tombstoneIntentMarker
+    if (m.exists()) {
+      val parts = java.nio.file.Files.readString(m.toPath).trim.split(" ")
+      val gen = parts(0).toInt
+      val offset = parts(1).toLong
+      if (new java.io.File(deltaPath(gen), "dict/_SUCCESS").exists())
+        tombstoneStaleVersions(deltaPath(gen), offset)
+      // marker without a committed delta: the partial delta was removed
+      // above — nothing was mutated, nothing to tombstone
+      m.delete()
+    }
+  }
+
   private def rmDir(path: String): Unit = graft.util.FsUtil.rmTree(path)
 
   /** Delete every document of a repo (reference delete-by-repo,
@@ -184,6 +258,7 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     * the next compact().
     */
   def deleteRepo(repo: String): Unit = {
+    healIngest()
     val staleIntent = beginRepoMutation()
     liveDocs().foreach { live =>
       appendTombstones(live.filter($"repo" === repo).select($"docId"))
@@ -300,8 +375,11 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
   /** Searcher over all live generations with tombstone filtering and
     * globally aggregated stats.
     */
-  def searcher(): MultiSearcher = new MultiSearcher(spark, generations(),
-    readTombstones(), repoIndexPath = repoIndexPath)
+  def searcher(): MultiSearcher = {
+    healIngest() // readers finish crashed ingest deletes before serving
+    new MultiSearcher(spark, generations(),
+      readTombstones(), repoIndexPath = repoIndexPath)
+  }
 
   /** Compaction — the segment-merge analog (reference indexes.rs:205-210
     * commit + merge): rebuild a single base generation from the LIVE rows
@@ -310,6 +388,7 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     * from-scratch rebuild.
     */
   def compact(): Unit = {
+    healIngest()
     val gens = generations()
     if (gens.isEmpty) return
     // indexed docs only: metadata stubs store empty content (D7), so
@@ -331,6 +410,40 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(compactMarker), "base-new is authoritative")
     finishCompaction()
+  }
+
+  /** Upgrade path for an OLDER-LAYOUT root that the read-time FORMAT
+    * gates refuse to open (round-4 review: without this, persisted data
+    * under a previous format was stranded — searcher/ingest/compact all
+    * throw before anything can be re-read). Stored fields are the source
+    * of truth: rebuild the base generation from every on-disk
+    * generation's docs with tombstones applied, re-tokenizing under the
+    * CURRENT format, then swap via the same compaction commit marker.
+    * Tolerates a missing `branch` column (pre-v7 layouts). Like
+    * compact(), metadata-only stubs are dropped and re-created by the
+    * next sync sweep.
+    */
+  def migrate(): Unit = {
+    finishCompaction()
+    finishMerge()
+    val gens = rawGenerations()
+    if (gens.isEmpty) return
+    val raw = spark.read.parquet(gens.map(g => s"$g/docs"): _*)
+    val withBranch =
+      if (raw.columns.contains("branch")) raw
+      else raw.withColumn("branch", lit(""))
+    val live = withBranch
+      .filter($"indexed")
+      .join(readTombstones(), Seq("docId"), "left_anti")
+      .select($"repo", $"path", $"commit", $"lang", $"content",
+        $"contentSha", $"branch")
+    rmDir(newBasePath)
+    new IndexBuilder(spark, newBasePath, bucketSize).build(live)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(compactMarker), "base-new is authoritative")
+    finishCompaction()
+    tombstoneIntentMarker.delete() // any pending delete died with the deltas
+    intentMarker.delete() // the rebuilt base carries a fresh repo sub-index
   }
 
   /** Size-tiered delta MERGE — the LSM-style maintenance step between full
@@ -361,6 +474,7 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
   private[graft] def mergeDeltas(crashBeforeSwap: Boolean): Unit = {
     finishCompaction()
     finishMerge()
+    healIngest()
     val n = deltaCount()
     if (n < 2) return
     val gens = (1 to n).map(deltaPath)

@@ -446,7 +446,8 @@ object IndexBuilder {
     if (found != FormatVersion)
       throw new IllegalStateException(
         s"index at $root has layout '$found' but this engine expects " +
-          s"'$FormatVersion' — rebuild or compact before opening")
+          s"'$FormatVersion' — rebuild it, or run IncrementalIndexer" +
+          ".migrate() to upgrade an incremental root in place")
   }
 
   /** Build a repo-name sub-index at `rootDir` from a one-column frame of
@@ -547,10 +548,19 @@ object IndexBuilder {
     */
   def tokenizeDoc(docId: Long, content: String, normId: Byte,
                   lang: String = ""): Iterator[RawPosting] = {
-    val (terms, counts, _) = CodeTokenizer.termFreqArrays(content)
+    // ONE tokenizer scan: split boundaries ignore case, so the lowercase
+    // token stream is the cased stream mapped through lowerToken (round-4
+    // review — the second full content scan was pure hot-loop waste)
+    val casedToks = CodeTokenizer.tokenizeCased(content)
+    val lowerToks = new Array[String](casedToks.length)
+    var li = 0
+    while (li < casedToks.length) {
+      lowerToks(li) = CodeTokenizer.lowerToken(casedToks(li)); li += 1
+    }
+    val (terms, counts, _) = CodeTokenizer.termFreqFromTokens(lowerToks)
     val toks = terms.indices.iterator.map(i =>
       RawPosting(terms(i), docId, counts(i), normId))
-    val (cTerms, cCounts, _) = CodeTokenizer.termFreqArraysCased(content)
+    val (cTerms, cCounts, _) = CodeTokenizer.termFreqFromTokens(casedToks)
     val cased = cTerms.indices.iterator.map(i =>
       RawPosting("c:" + cTerms(i), docId, cCounts(i), normId))
     val symTf = scala.collection.mutable.HashMap.empty[String, Int]
@@ -641,6 +651,10 @@ private final class PostBuf {
   * capacity) — the gram-code chunk index. No per-lookup boxing: the
   * measured phase-1 limiter is allocation/memory traffic, not CPU.
   * Key 0 is reserved (gram codes always carry a nonzero length field).
+  * Deliberately parallel to CodeTokenizer.LongSet (same probing/growth/
+  * zero-key invariants, value array added) — a shared base would cost the
+  * set's hot path an unused values array; keep the two in lockstep when
+  * touching either.
   */
 private final class LongObjMap(initialCapacity: Int) {
   private var cap = math.max(16, Integer.highestOneBit(initialCapacity) * 2)
@@ -702,12 +716,20 @@ private final class LongObjMap(initialCapacity: Int) {
   * bucket boundaries and encode one TokPartial per (term, bucket).
   */
 private object Phase1 {
-  /** Entries per chunk before a flush: bounds phase-1 heap to
-    * ~12 bytes/entry of primitive arrays (plus the term map) per task —
-    * the explicit spill-safety budget that replaced the tungsten sort's
-    * spill files. 2^22 also keeps PostBuf's packed sort indices valid.
+  /** Entries per chunk before a flush — the primitive-array budget
+    * (~12 bytes/entry). 2^22 also keeps PostBuf's packed sort indices
+    * valid. This alone does NOT bound heap for distinct-term-heavy
+    * content (minified sources: ~every posting a new String key + map
+    * node + PostBuf ≈ 100-150 B), so the string path ALSO tracks
+    * approximate key bytes and flushes at ChunkKeyBytes — together they
+    * are the explicit spill-safety budget that replaced the tungsten
+    * sort's spill files (round-4 review).
     */
   val ChunkEntries: Int = 4 << 20
+  /** Approximate accumulated KEY cost (string chars + per-key object
+    * overhead) that forces a flush on distinct-term-heavy chunks.
+    */
+  val ChunkKeyBytes: Long = 128L << 20
 
   def emit(term: String, buf: PostBuf, bucketSize: Long,
            normCache: Array[Float],
@@ -755,6 +777,7 @@ private class StrPhase1Iterator(
     bucketSize: Long) extends Iterator[TokPartial] {
   private val map = new java.util.HashMap[String, PostBuf]()
   private var entries = 0
+  private var keyBytes = 0L
   private var pending: Iterator[TokPartial] = Iterator.empty
 
   // hasNext LOOKS AHEAD through chunks: a chunk of docs can legitimately
@@ -772,12 +795,17 @@ private class StrPhase1Iterator(
   }
 
   private def fill(): Unit = {
-    while (docs.hasNext && entries < Phase1.ChunkEntries) {
+    while (docs.hasNext && entries < Phase1.ChunkEntries &&
+        keyBytes < Phase1.ChunkKeyBytes) {
       val d = docs.next()
       IndexBuilder.tokenizeDoc(d.docId, d.content, d.normId,
         lang = d.lang).foreach { p =>
         var buf = map.get(p.term)
-        if (buf == null) { buf = new PostBuf; map.put(p.term, buf) }
+        if (buf == null) {
+          buf = new PostBuf
+          map.put(p.term, buf)
+          keyBytes += 2L * p.term.length + 96 // String + map node + PostBuf
+        }
         buf.add(p.docId, p.tf, p.normId)
         entries += 1
       }
@@ -786,6 +814,7 @@ private class StrPhase1Iterator(
     map.forEach((term, buf) => Phase1.emit(term, buf, bucketSize, normCache, out))
     map.clear()
     entries = 0
+    keyBytes = 0L
     pending = out.iterator
   }
 }

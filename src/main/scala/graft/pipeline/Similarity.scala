@@ -81,19 +81,14 @@ object Similarity {
   private def planeSign(h: Column, d: Column): Column =
     ((d * 2654435761L + h * 40503L) % 97 % 2) * 2 - 1
 
-  /** LSH bucket id: H hyperplane sign bits over the embedding. Vectors in
-    * the same bucket are candidate neighbours.
-    *
-    * Projections are computed over floor(x·10⁴)-quantized components so
-    * every partial sum is an exact integer: the bucket id is then
-    * bit-identical on ANY engine and ANY aggregation order (a double-sum
-    * projection could flip a sign bit on near-zero projections depending
-    * on reduction order — unacceptable for a cross-engine oracle and for
-    * cluster-size invariance).
-    */
   /** Per-plane exact-integer projections (vec_id, h, proj) — the shared
     * base of lshBuckets (sign bits) and the multi-probe ranking (|proj| =
-    * how certain each sign bit is).
+    * how certain each sign bit is). Projections are computed over
+    * floor(x·10⁴)-quantized components so every partial sum is an exact
+    * integer — bit-identical on ANY engine and ANY aggregation order (a
+    * double-sum projection could flip a sign bit on near-zero projections
+    * depending on reduction order: unacceptable for a cross-engine oracle
+    * and for cluster-size invariance).
     */
   def lshProjections(embeddings: DataFrame, numPlanes: Int): DataFrame = {
     val spark = embeddings.sparkSession
@@ -109,20 +104,15 @@ object Similarity {
       .agg(sum("contrib").as("proj"))
   }
 
+  /** LSH bucket id: H hyperplane sign bits over the quantized projections
+    * — vectors in the same bucket are candidate neighbours.
+    */
   def lshBuckets(embeddings: DataFrame, numPlanes: Int = 8): DataFrame =
     lshProjections(embeddings, numPlanes)
       .groupBy("vec_id")
       .agg(sum(when(col("proj") > 0, expr("CAST(pow(2, h) AS BIGINT)"))
         .otherwise(0L)).as("bucket"))
 
-  /** Bucketed ANN with MULTI-PROBE: candidates come from the query's
-    * bucket plus every bucket at Hamming distance 1 (one hyperplane-sign
-    * flip) — the standard recall fix for sign-LSH without widening the
-    * per-bucket fan-in (round-1 VERDICT: the single-probe version returned
-    * 0 rows). numPlanes+1 of 2^numPlanes buckets are scanned: candidate
-    * work stays a (numPlanes+1)/2^numPlanes fraction of brute force at any
-    * corpus size, and the probe set is a pushed-down bucket-id IN filter.
-    */
   /** floor(x·10⁴)-quantized components: exact-integer arithmetic makes
     * every derived decision (cell assignment, probe choice) bit-identical
     * on any engine and any aggregation order — same rationale as
@@ -311,20 +301,19 @@ object Similarity {
       spark.read.parquet(s"$dir/cells"), queryId, k, nprobe)
   }
 
-  /** Bucketed ANN with QUERY-ADAPTIVE multi-probe (Lv et al., VLDB 2007,
-    * simplified to sign-LSH): probe the query's own bucket plus every
-    * sign-flip combination of the `probeBits` planes with the SMALLEST
-    * |projection| for the query — the planes whose sign decision was least
-    * certain are exactly the ones a true neighbour most likely disagrees
-    * on, so 2^probeBits ranked probes buy far more recall than the same
-    * number of blind Hamming-1 flips (round-3 bench: blind probing gave
-    * recall@10 = 0.4). Probe choice is a driver-side O(numPlanes) decision
-    * over exact integers (ties broken by plane id — deterministic on any
-    * engine); candidates stay a pushed-down bucket-id IN filter, scanning
-    * 2^probeBits of 2^numPlanes buckets at any corpus size.
-    */
-  /** Candidate vec_ids of the multi-probe query — exposed so benchmarks
-    * can report the scanned fraction next to the recall they buy.
+  /** Candidate vec_ids of the QUERY-ADAPTIVE multi-probe (Lv et al.,
+    * VLDB 2007, simplified to sign-LSH): the query's own bucket plus
+    * every sign-flip combination of the `probeBits` planes with the
+    * SMALLEST |projection| for the query — the planes whose sign decision
+    * was least certain are exactly the ones a true neighbour most likely
+    * disagrees on, so 2^probeBits ranked probes buy far more recall than
+    * the same number of blind Hamming-1 flips (round-3 bench: blind
+    * probing gave recall@10 = 0.4). Probe choice is a driver-side
+    * O(numPlanes) decision over exact integers (ties broken by plane id —
+    * deterministic on any engine); candidates stay a pushed-down
+    * bucket-id IN filter, scanning 2^probeBits of 2^numPlanes buckets at
+    * any corpus size. Exposed separately so benchmarks report the scanned
+    * fraction next to the recall it buys.
     */
   def lshCandidates(embeddings: DataFrame, queryId: Long,
                     numPlanes: Int = 6, probeBits: Int = 3): DataFrame = {
@@ -346,6 +335,12 @@ object Similarity {
       .select("vec_id")
   }
 
+  /** Multi-probe ANN top-k: exact cosine + TakeOrdered over the
+    * lshCandidates set. See BENCH/BASELINE.md for the measured
+    * recall/fraction envelope of this data-independent hash — the
+    * persisted IVF is the production ANN where neighbours are only
+    * moderately similar.
+    */
   def lshTopK(embeddings: DataFrame, queryId: Long, k: Int,
               numPlanes: Int = 6, probeBits: Int = 3): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)

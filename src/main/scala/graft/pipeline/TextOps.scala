@@ -134,17 +134,6 @@ object TextOps {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count("*").as("dupes"))
 
-  /** Token-budget text chunking with overlap — the training-pipeline
-    * chunker (reference semantic/chunk.rs:76-99; 256-token budget with
-    * overlap, config.rs:307-309) that feeds the embedding/ANN family.
-    * Deterministic boundaries: whitespace tokens, stride = budget −
-    * overlap, chunk i covers tokens [i·stride, i·stride + budget); the
-    * last chunk may be shorter; a doc with ≤budget tokens yields exactly
-    * one chunk and zero-token docs yield none. Pure Column pipeline
-    * (sequence → transform/slice → posexplode): shuffle-free, codegen'd,
-    * per-row work bounded by the doc's own length — scales to any corpus
-    * size. SQL-mirrorable (integer boundaries only).
-    */
   /** PII scrubbing: mask e-mail addresses, IPv4 literals and long digit
     * runs (id-number shaped) — the standard pre-training redaction pass.
     * Pure `regexp_replace` chain (codegen'd, shuffle-free); patterns are
@@ -193,6 +182,17 @@ object TextOps {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4)
           .as("repeated_mass"))
 
+  /** Token-budget text chunking with overlap — the training-pipeline
+    * chunker (reference semantic/chunk.rs:76-99; 256-token budget with
+    * overlap, config.rs:307-309) that feeds the embedding/ANN family.
+    * Deterministic boundaries: whitespace tokens, stride = budget −
+    * overlap, chunk i covers tokens [i·stride, i·stride + budget); the
+    * last chunk may be shorter; a doc with ≤budget tokens yields exactly
+    * one chunk and zero-token docs yield none. Pure Column pipeline
+    * (sequence → transform/slice → posexplode): shuffle-free, codegen'd,
+    * per-row work bounded by the doc's own length — scales to any corpus
+    * size. SQL-mirrorable (integer boundaries only).
+    */
   def chunks(documents: DataFrame, budget: Int = 256,
              overlap: Int = 64): DataFrame = {
     require(budget > overlap && overlap >= 0,

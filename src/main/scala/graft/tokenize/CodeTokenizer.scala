@@ -70,7 +70,25 @@ object CodeTokenizer {
   def termFreqArraysCased(s: String): (Array[String], Array[Int], Int) =
     termFreqFromTokens(tokenizeCased(s))
 
-  private def termFreqFromTokens(
+  /** Lowercase one already-split token with the shared per-char rule;
+    * returns the SAME reference when nothing changes (the common all-
+    * lowercase case allocates nothing). tokenize(s) ==
+    * tokenizeCased(s).map(lowerToken) by construction — split boundaries
+    * ignore case — which lets the index build tokenize each doc ONCE
+    * (CodeTokenizerSpec asserts the identity).
+    */
+  def lowerToken(s: String): String = {
+    var i = 0
+    val n = s.length
+    while (i < n && lowerChar(s.charAt(i)) == s.charAt(i)) i += 1
+    if (i == n) return s
+    val b = new Array[Char](n)
+    var k = 0
+    while (k < n) { b(k) = lowerChar(s.charAt(k)); k += 1 }
+    new String(b)
+  }
+
+  private[graft] def termFreqFromTokens(
       toks: Array[String]): (Array[String], Array[Int], Int) = {
     val len = toks.length
     if (len == 0) return (Array.empty, Array.empty, 0)

@@ -6,6 +6,21 @@ import graft.tokenize.CodeTokenizer._
 
 class CodeTokenizerSpec extends AnyFunSuite {
 
+  test("tokenize == tokenizeCased.map(lowerToken): split boundaries ignore " +
+       "case (the one-scan index-build identity, round-4 review)") {
+    val samples = Seq("parseHTTPResponse utf8_reader", "FooBar Baz_Qux 99x",
+      "", "ALLCAPS mixedCase snake_case __dunder__", "überStraße Grüße",
+      "a1B2c3 XMLHttpRequest IOError")
+    samples.foreach { s =>
+      val viaLower = graft.tokenize.CodeTokenizer.tokenizeCased(s)
+        .map(graft.tokenize.CodeTokenizer.lowerToken).toSeq
+      assert(graft.tokenize.CodeTokenizer.tokenize(s).toSeq == viaLower, s)
+    }
+    // lowerToken returns the same reference when nothing changes
+    val t = "already_lower"
+    assert(graft.tokenize.CodeTokenizer.lowerToken(t) eq t)
+  }
+
   /** deterministic fuzz corpus: printable-ascii strings */
   private def fuzzStrings(n: Int): Seq[String] = {
     val rng = new java.util.Random(7)

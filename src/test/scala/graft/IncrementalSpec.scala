@@ -476,6 +476,75 @@ class IncrementalSpec extends AnyFunSuite {
       "completed refresh must clear the intent marker")
   }
 
+  test("crash between delta commit and re-add tombstones: healIngest " +
+       "finishes the delete; documents are never lost (round-4 review)") {
+    // control: the same update ingested cleanly. Drop the synth corpus's
+    // precomputed contentSha — it describes the ORIGINAL content, and the
+    // freshness anti-join would otherwise see the update as unchanged
+    val updated = corpusA.withColumn("content",
+      concat(col("content"), lit(" updatedmarker"))).drop("contentSha")
+    val ctlRoot = TestSpark.tempDir("inc-crash-ctl")
+    val ctl = new IncrementalIndexer(spark, ctlRoot, bucketSize = 64)
+    ctl.buildBase(corpusA)
+    ctl.ingest(updated)
+    // crash: delta committed, old versions NOT yet tombstoned
+    val root = TestSpark.tempDir("inc-crash-tomb")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    inc.ingest(updated, crashAfterDelta = true)
+    assert(new java.io.File(s"$root/TOMBSTONE_INTENT").exists())
+    // searcher() heals before serving: no duplicate (old+new) versions,
+    // results equal the clean-ingest control
+    val got = keyedHits(inc.searcher(), "updatedmarker")
+    val want = keyedHits(ctl.searcher(), "updatedmarker")
+    assert(got == want && got.nonEmpty)
+    assert(!new java.io.File(s"$root/TOMBSTONE_INTENT").exists())
+    // and the delete actually finished: the healed root carries tombstones
+    assert(inc.readTombstones().count() == corpusA.count())
+  }
+
+  test("crashed PARTIAL delta (docs committed, no dict) is removed by the " +
+       "next mutation instead of breaking generation reads") {
+    val root = TestSpark.tempDir("inc-crash-partial")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    // simulate a build that died between the docs and postings stages
+    new IndexBuilder(spark, s"$root/delta-1", bucketSize = 64,
+      docIdOffset = 1000L, includeRepoIndex = false)
+      .buildDocs(corpusB)
+    // a reader would otherwise see delta-1 in generations() and fail on
+    // the missing postings; searcher() heals by dropping the partial
+    val ms = inc.searcher()
+    assert(ms.stats.n == corpusA.count())
+    assert(!new java.io.File(s"$root/delta-1").exists())
+  }
+
+  test("migrate() upgrades a stale-format root in place from stored fields") {
+    val root = TestSpark.tempDir("inc-migrate")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    inc.ingest(corpusB)
+    val victim = corpusA.select("repo").distinct().orderBy("repo")
+      .limit(1).collect()(0).getString(0)
+    inc.deleteRepo(victim)
+    // age every generation's layout: the engine must refuse, then migrate
+    Seq(s"$root/base/FORMAT", s"$root/delta-1/FORMAT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        "graft-index-v9")
+    }
+    intercept[IllegalStateException](inc.searcher())
+    inc.migrate()
+    // docIds change (fresh rank over the live set) but the (repo, path,
+    // score) surface equals the pre-migration index — scores too, since
+    // migrate() drops tombstoned rows like compact()
+    val ctlRoot = TestSpark.tempDir("inc-migrate-ctl")
+    val ctl = new IncrementalIndexer(spark, ctlRoot, bucketSize = 64)
+    ctl.buildBase(corpusA.unionByName(corpusB)
+      .filter(col("repo") =!= victim))
+    assert(keyedHits(inc.searcher(), "index") ==
+      keyedHits(ctl.searcher(), "index"))
+  }
+
   test("structured streaming ingest drains arriving corpus files") {
     val root = TestSpark.tempDir("inc-stream")
     val inDir = TestSpark.tempDir("inc-stream-in")
