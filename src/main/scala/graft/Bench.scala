@@ -168,13 +168,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     // wall-seconds only, each second counted once: skip the two staged
-    // AGGREGATE keys (their stages are already in the map) and the
+    // AGGREGATE keys (their stages are already in the map), the
     // dimensionless recall ratios (round-3 review: the old sum
-    // double-counted every build second and added ratios as seconds)
+    // double-counted every build second and added ratios as seconds),
+    // and the one-time IVF training — it is an index-build artifact, not
+    // per-operation latency, which is the whole point of the
+    // ivf_train/ivf_topk split (round-4 ADVICE)
     val aggregateKeys = Set("index_build", "index_build_synth20k")
     val total = results.iterator.collect {
       case (k, v) if !aggregateKeys(k) && !k.endsWith("_recall_at10") &&
-        !k.endsWith("_candidate_frac") => v
+        !k.endsWith("_candidate_frac") && !k.startsWith("ivf_train") => v
     }.sum
     val fps = nFiles / tBuild
     val fpsSynth = 20000.0 / tSynth

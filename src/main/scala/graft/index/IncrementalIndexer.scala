@@ -373,12 +373,43 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
   }
 
   /** Searcher over all live generations with tombstone filtering and
-    * globally aggregated stats.
+    * globally aggregated stats. Crash recovery before serving: finish
+    * pending ingest deletes (healIngest) AND a pending repo-index refresh
+    * — a surviving REPO_REFRESH_INTENT means a mutation crashed before
+    * its refresh, so `repo:` queries would silently serve the stale name
+    * set until the NEXT mutation (round-4 ADVICE). Healing writes; on a
+    * read-only root the searcher serves directly when nothing is pending
+    * and throws a clear error (instead of an opaque write failure or a
+    * silently stale read) when recovery work exists.
     */
   def searcher(): MultiSearcher = {
-    healIngest() // readers finish crashed ingest deletes before serving
+    val rootDir = new java.io.File(root)
+    if (!rootDir.exists() || rootDir.canWrite()) {
+      healIngest()
+      if (intentMarker.exists()) refreshRepoIndex(forceBootstrap = true)
+    } else requireNoPendingRecovery()
     new MultiSearcher(spark, generations(),
       readTombstones(), repoIndexPath = repoIndexPath)
+  }
+
+  /** Read-only-root gate for searcher(): every crash-recovery state the
+    * write paths would heal must be absent, because serving through it
+    * would return wrong results (lost deletes, duplicate versions, stale
+    * repo names) and healing needs writes.
+    */
+  private def requireNoPendingRecovery(): Unit = {
+    val partialDeltas = Iterator.from(1)
+      .map(deltaPath)
+      .takeWhile(p => new java.io.File(p, "docs/_SUCCESS").exists())
+      .filterNot(p => new java.io.File(p, "dict/_SUCCESS").exists())
+      .map(_ => "partial-delta").toSeq
+    val pending = Seq(tombstoneIntentMarker, intentMarker,
+      new java.io.File(mergeMarker), new java.io.File(compactMarker))
+      .filter(_.exists()).map(_.getName) ++ partialDeltas
+    if (pending.nonEmpty) throw new IllegalStateException(
+      s"index at $root has pending crash-recovery work " +
+        s"(${pending.mkString(", ")}) but the root is read-only — " +
+        "heal it on a writable mount first")
   }
 
   /** Compaction — the segment-merge analog (reference indexes.rs:205-210
@@ -432,9 +463,20 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     val withBranch =
       if (raw.columns.contains("branch")) raw
       else raw.withColumn("branch", lit(""))
+    // An ingest that crashed between its delta commit and the re-add
+    // tombstones leaves BOTH versions of a key live — healIngest() would
+    // replay the pending TOMBSTONE_INTENT, but it cannot run on a
+    // stale-format root (generations() throws before it), which is the
+    // exact state migrate() serves (round-4 ADVICE). Keep only the
+    // NEWEST version of each key: docIds ascend across generations, so
+    // max-docId per (repo, path, commit, branch) is the replay's survivor.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"repo", $"path", $"commit", $"branch")
     val live = withBranch
       .filter($"indexed")
       .join(readTombstones(), Seq("docId"), "left_anti")
+      .withColumn("maxDocId", max($"docId").over(w))
+      .filter($"docId" === $"maxDocId")
       .select($"repo", $"path", $"commit", $"lang", $"content",
         $"contentSha", $"branch")
     rmDir(newBasePath)

@@ -108,8 +108,15 @@ object Similarity {
     * — vectors in the same bucket are candidate neighbours.
     */
   def lshBuckets(embeddings: DataFrame, numPlanes: Int = 8): DataFrame =
-    lshProjections(embeddings, numPlanes)
-      .groupBy("vec_id")
+    bucketsFromProjections(lshProjections(embeddings, numPlanes))
+
+  /** Sign-bit bucket ids from an ALREADY-derived projection frame — lets
+    * callers that need both the projections and the buckets (the
+    * multi-probe query path) derive them from ONE materialized frame
+    * instead of running the posexplode+groupBy twice (round-4 ADVICE).
+    */
+  private def bucketsFromProjections(projs: DataFrame): DataFrame =
+    projs.groupBy("vec_id")
       .agg(sum(when(col("proj") > 0, expr("CAST(pow(2, h) AS BIGINT)"))
         .otherwise(0L)).as("bucket"))
 
@@ -317,7 +324,12 @@ object Similarity {
     */
   def lshCandidates(embeddings: DataFrame, queryId: Long,
                     numPlanes: Int = 6, probeBits: Int = 3): DataFrame = {
-    val projs = lshProjections(embeddings, numPlanes)
+    // ONE materialized projection pass (localCheckpoint truncates the
+    // lineage, so neither the query-row collect below nor the bucket
+    // aggregation in the returned plan re-runs the full-corpus
+    // posexplode+groupBy — round-4 ADVICE found it derived twice, three
+    // times with lshTopK's scan)
+    val projs = lshProjections(embeddings, numPlanes).localCheckpoint()
     // numPlanes tiny rows: the query's per-plane projections drive both
     // its bucket id and the flip ranking
     val qp = projs.filter(col("vec_id") === queryId)
@@ -330,7 +342,7 @@ object Similarity {
       qBucket ^ flips.zipWithIndex
         .collect { case (h, i) if ((s >> i) & 1) == 1 => 1L << h }.sum
     }
-    lshBuckets(embeddings, numPlanes)
+    bucketsFromProjections(projs)
       .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
       .select("vec_id")
   }

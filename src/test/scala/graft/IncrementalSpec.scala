@@ -545,6 +545,56 @@ class IncrementalSpec extends AnyFunSuite {
       keyedHits(ctl.searcher(), "index"))
   }
 
+  test("migrate() replays a pending re-add delete: crashed ingest + " +
+       "format upgrade must not resurrect old versions (round-4 ADVICE)") {
+    val updated = corpusA.withColumn("content",
+      concat(col("content"), lit(" migratemarker"))).drop("contentSha")
+    // crash between delta commit and re-add tombstones, THEN a format
+    // bump strands the root: healIngest cannot run (generations() throws
+    // on the stale format), so migrate() itself must dedupe the live set
+    val root = TestSpark.tempDir("inc-migrate-dup")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    inc.ingest(updated, crashAfterDelta = true)
+    assert(new java.io.File(s"$root/TOMBSTONE_INTENT").exists())
+    Seq(s"$root/base/FORMAT", s"$root/delta-1/FORMAT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        "graft-index-v9")
+    }
+    intercept[IllegalStateException](inc.searcher())
+    inc.migrate()
+    // the migrated index equals a from-scratch build over the UPDATED
+    // rows only — old versions (same key, lower docId) must be gone
+    val ctlRoot = TestSpark.tempDir("inc-migrate-dup-ctl")
+    val ctl = new IncrementalIndexer(spark, ctlRoot, bucketSize = 64)
+    ctl.buildBase(updated)
+    val got = keyedHits(inc.searcher(), "migratemarker")
+    assert(got == keyedHits(ctl.searcher(), "migratemarker") && got.nonEmpty)
+    assert(inc.searcher().stats.n == corpusA.count())
+  }
+
+  test("searcher() heals a surviving repo-refresh intent: repo names " +
+       "served after a crashed mutation come from liveDocs (round-4 ADVICE)") {
+    val root = TestSpark.tempDir("inc-searcher-intent")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA)
+    val aRepos = corpusA.select("repo").distinct().collect()
+      .map(_.getString(0)).toSet
+    // a wrong increment stands in for the stale name set a crashed
+    // mutation leaves behind
+    inc.refreshRepoIndex(added = Some(Seq("ghost/zzz").toDF("repo")))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/REPO_REFRESH_INTENT"), "pending")
+    val ms = inc.searcher()
+    val served = spark.read.parquet(s"${inc.repoIndexPath.get}/docs")
+      .select("repo").collect().map(_.getString(0)).toSet
+    assert(served == aRepos,
+      "searcher() must bootstrap the repo index from liveDocs, not serve " +
+        "the stale set until the next mutation")
+    assert(!new java.io.File(s"$root/REPO_REFRESH_INTENT").exists())
+    assert(ms.stats.n == corpusA.count())
+  }
+
   test("structured streaming ingest drains arriving corpus files") {
     val root = TestSpark.tempDir("inc-stream")
     val inDir = TestSpark.tempDir("inc-stream-in")

@@ -43,10 +43,25 @@ GATELOG=/tmp/graft-scaling-gatelog.txt
 submit() { # cmd args... ; heap = 3 GiB/core for run, 3 GiB/core for probes
   local cmd=$1; shift
   local cores=$1
+  local hist=/tmp/graft-scaling-hist-$cmd-$cores.txt
+  local before
+  before=$(wc -l < "$hist" 2>/dev/null || echo 0)
   /opt/spark/bin/spark-submit --class graft.ScalingBench \
     --master "local[$cores]" --driver-memory "$((3 * cores))g" \
     --driver-java-options "-XX:+UseParallelGC" \
     "$JAR" "$cmd" "$@" >/dev/null 2>&1
+  # A failed spark-submit (broken JAR, bad classpath) leaves the history
+  # file untouched; lastline then feeds awk an empty value and EVERY slot
+  # gets discarded until MAX_SLOTS with no hint why (round-4 ADVICE).
+  # Abort loudly instead.
+  local after v
+  after=$(wc -l < "$hist" 2>/dev/null || echo 0)
+  v=$(lastline "$hist")
+  if [ "$after" -le "$before" ] || \
+     ! echo "$v" | awk '{ exit !($1 + 0 > 0) }'; then
+    echo "ABORT: '$cmd $cores' added no numeric line to $hist — broken JAR/submit?" | tee -a "$GATELOG"
+    exit 1
+  fi
 }
 
 lastline() { tail -n 1 "$1" 2>/dev/null | awk '{print $1}'; }
