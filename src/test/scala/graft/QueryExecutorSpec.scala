@@ -386,12 +386,19 @@ class QueryExecutorSpec extends AnyFunSuite {
     assert(pm.topk == wantTop)
     val all = exec.execute(q, 100000).toDF()
     assert(pm.total == all.count())
-    val wantLangs = searcher.langStats(all).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    // histograms come back top-N ordered: count desc, value asc
+    def topOrder(s: Seq[(String, Long)]) = s.sortBy { case (v, c) => (-c, v) }
+    val wantLangs = topOrder(searcher.langStats(all).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq)
     assert(pm.langStats == wantLangs)
-    val wantRepos = searcher.repoStats(all).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    val wantRepos = topOrder(searcher.repoStats(all).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq)
     assert(pm.repoStats == wantRepos)
+    // statsTopN truncates the VALUE LIST (top by count), never the counts
+    val pm1 = exec.executePage(q, 5, statsTopN = 1)
+    assert(pm1.langStats == wantLangs.take(1))
+    assert(pm1.repoStats == wantRepos.take(1))
+    assert(pm1.total == pm.total && pm1.topk == pm.topk)
   }
 
   test("executeAny file hits carry path highlight ranges (execute.rs:603-607)") {
