@@ -424,7 +424,9 @@ object IndexBuilder {
     * so cached index directories cannot be resumed across layouts.
     */
   // v10: "c:" exact-case token namespace + per-language symbol grammars
-  val FormatVersion = "graft-index-v10"
+  // v11: keyword-less method-definition signatures (Java/C/C++/C#) join
+  //      the "s:" symbol namespace
+  val FormatVersion = "graft-index-v11"
 
   /** Namespace bit for packed trigram codes: set = "p:" (path), clear =
     * "g:" (content). Codes use 48 low bits (3 UTF-16 chars).
