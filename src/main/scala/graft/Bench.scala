@@ -135,6 +135,12 @@ object Bench {
     val (ivfRows, tIvf) = timed(
       Similarity.ivfTopKIndexed(embs, ivfDir, 0L, 10).collect())
     results += "ivf_topk" -> tIvf
+    // train-cost scaling point at a larger fixed cell count (the auto
+    // nlist is ~√N; assignment work grows with nlist × N)
+    val ivfDir64 = freshDir("/tmp/graft-bench-ivf64")
+    val (_, tIvfTrain64) = timed(
+      Similarity.buildIvfIndex(embs, ivfDir64, nlist = 64))
+    results += "ivf_train_nlist64" -> tIvfTrain64
 
     // ANN recall@10 vs the brute-force scan (k-means-refined IVF and
     // multi-probe LSH) — quality alongside the latency numbers; the IVF

@@ -864,19 +864,30 @@ object SparkEntry {
           |FROM e JOIN b USING (vec_id) CROSS JOIN q
           |WHERE xor(b.bucket, q.qb) IN (SELECT mask FROM masks) AND e.vec_id <> 0
           |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
-      "e_ivf_topk" -> // mirror of buildIvfIndex + ivfTopKIndexed (nlist=16,
-        // nprobe=4, lloydIters=2): the persisted artifacts are the
-        // deterministic exact-integer Lloyd values, so the oracle
-        // re-derives them — quantize floor(x·1e4), assign by argmax BIGINT
-        // dot (ties → smaller cid), update by per-dim EXACT integer floor
-        // division (s - pmod(s,c))/c, empty cells keep their centroid; two
-        // unrolled iterations
+      "e_ivf_topk" -> // mirror of buildIvfIndex + ivfTopKIndexed under the
+        // PRODUCTION parameterization (round-4 VERDICT #4): nlist =
+        // clamp(ceil(√N), 16, 65536), nprobe = max(4, nlist // 4), init =
+        // the nlist smallest (vec_id·2654435761 % 1000000007, vec_id)
+        // rows with cid = that rank (hash-sampled, not first-N). The
+        // persisted artifacts are the deterministic exact-integer Lloyd
+        // values, so the oracle re-derives them — quantize floor(x·1e4),
+        // assign by argmax BIGINT dot (ties → smaller cid), update by
+        // per-dim EXACT integer floor division (s - pmod(s,c))/c, empty
+        // cells keep their centroid; two unrolled iterations
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
           |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+          |p AS (SELECT least(65536, greatest(16,
+          |        CAST(ceil(sqrt(count(*))) AS BIGINT))) AS nl FROM e),
+          |pp AS (SELECT nl, greatest(4, nl // 4) AS np FROM p),
+          |sel AS (SELECT vec_id, row_number() OVER (
+          |          ORDER BY (vec_id*2654435761) % 1000000007, vec_id) - 1 AS cid
+          |        FROM e),
           |dims AS (SELECT vec_id, d,
           |           CAST(floor(emb[CAST(d AS INT)+1]*10000) AS BIGINT) AS x
           |         FROM e CROSS JOIN (SELECT unnest(range(0,64)) AS d)),
-          |c0 AS (SELECT vec_id AS cid, d, x AS cx FROM dims WHERE vec_id < 16),
+          |c0 AS (SELECT sel.cid, dims.d, dims.x AS cx
+          |       FROM dims JOIN sel USING (vec_id)
+          |       WHERE sel.cid < (SELECT nl FROM pp)),
           |d1 AS (SELECT dims.vec_id, cid, sum(x*cx) AS dp
           |       FROM dims JOIN c0 USING (d) GROUP BY dims.vec_id, cid),
           |a1 AS (SELECT vec_id, cid AS cell FROM (
@@ -907,8 +918,10 @@ object SparkEntry {
           |    SELECT vec_id, cid, row_number() OVER (
           |      PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn FROM df)
           |  WHERE rn = 1),
-          |pr AS (SELECT cid FROM df WHERE vec_id = 0
-          |       ORDER BY dp DESC, cid LIMIT 4)
+          |pr AS (SELECT cid FROM (
+          |    SELECT cid, row_number() OVER (ORDER BY dp DESC, cid) AS rn
+          |    FROM df WHERE vec_id = 0)
+          |  WHERE rn <= (SELECT np FROM pp))
           |SELECT e.vec_id, round(list_cosine_similarity(e.emb, q.qe), 4) AS cos
           |FROM e JOIN af USING (vec_id) CROSS JOIN q
           |WHERE af.cell IN (SELECT cid FROM pr) AND e.vec_id <> 0
