@@ -74,7 +74,28 @@ object ScalingBench {
   }
 
   def run(cores: Int): Unit = {
-    val spark = session(cores, s"graft-scaling-$cores")
+    // Pin the CORPUS read split to corpusBytes/128: the 960k-file corpus
+    // compresses to a few hundred MB, which default bin-packing coalesces
+    // into a handful of 128 MB splits — the docs stage's map side (scan +
+    // sha + shuffle write) then caps at that handful of concurrent tasks:
+    // invisible at 2 cores, a wall at 8 (round-4 VERDICT #5 measured the
+    // docs stage at ~0.8 of ideal; the postings stage got the same pin in
+    // round 3). 128 splits matches the builder's fixed task granularity;
+    // set at session build time — each measurement owns its JVM, nothing
+    // leaks. docIds are split-invariant by construction (sha-rank).
+    val corpusBytes = Option(new java.io.File(CorpusPath).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val extra =
+      if (corpusBytes <= 0) Map.empty[String, String]
+      else {
+        val split = math.max(1L << 20, corpusBytes / 128)
+        Map("spark.sql.files.maxPartitionBytes" -> split.toString,
+          "spark.sql.files.openCostInBytes" ->
+            math.min(split, 1L << 20).toString)
+      }
+    val spark = session(cores, s"graft-scaling-$cores", extra)
     try {
       val corpus = spark.read.parquet(CorpusPath)
       // untimed warm-up on a small slice: JIT + codegen + classloading are
@@ -271,13 +292,15 @@ object ScalingBench {
       java.nio.file.Paths.get("BENCH/scaling.json"), json + "\n")
   }
 
-  private def session(cores: Int, name: String): SparkSession = {
+  private def session(cores: Int, name: String,
+                      extra: Map[String, String] = Map.empty): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(name)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    extra.foreach { case (k, v) => b.config(k, v) }
     // shuffle scratch on tmpfs when available: spill I/O is the one part
     // of the build that cores cannot parallelize (cluster analog: NVMe
     // shuffle volumes)

@@ -510,57 +510,83 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     */
   def mergeDeltas(): Unit = mergeDeltas(crashBeforeSwap = false)
 
+  /** Wall-seconds per stage of the LAST mergeDeltas run — benchmark
+    * attribution (round-4 VERDICT #2: an unexplained merge-time move must
+    * decompose into heal/docs/postings/dict/stats/swap before it is
+    * believed or dismissed).
+    */
+  private[graft] val lastMergeStageTimes =
+    scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+  private def mergeStage[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    lastMergeStageTimes(name) = (System.nanoTime() - t0) / 1e9
+    r
+  }
+
   /** Test face: `crashBeforeSwap` stops at the commit point (marker
     * written, swap not run) — the crash window generations() must recover.
     */
   private[graft] def mergeDeltas(crashBeforeSwap: Boolean): Unit = {
-    finishCompaction()
-    finishMerge()
-    healIngest()
+    lastMergeStageTimes.clear()
+    mergeStage("heal") {
+      finishCompaction()
+      finishMerge()
+      healIngest()
+    }
     val n = deltaCount()
     if (n < 2) return
     val gens = (1 to n).map(deltaPath)
     rmDir(mergedPath)
     // docs and lineage: plain unions — ids preserved
-    spark.read.parquet(gens.map(g => s"$g/docs"): _*)
-      .write.parquet(s"$mergedPath/docs")
-    val linDirs = gens.map(g => s"$g/lineage")
-      .filter(p => new java.io.File(p).exists())
-    if (linDirs.nonEmpty)
-      spark.read.parquet(linDirs: _*).write.parquet(s"$mergedPath/lineage")
-    spark.read.parquet(gens.map(g => s"$g/postings"): _*).as[PostingRun]
-      .groupByKey(r => (r.term, r.bucket))
-      .mapGroups { (key: (String, Int), it: Iterator[PostingRun]) =>
-        val rs = it.toArray.sortBy(
-          _.blocks.headOption.map(_.firstDocId).getOrElse(Long.MaxValue))
-        PostingRun(key._1, key._2, rs.map(_.df).sum, rs.map(_.cf).sum,
-          rs.map(_.maxTfNorm).max, rs.iterator.flatMap(_.blocks).toVector)
-      }
-      .sortWithinPartitions($"term") // keep the sorted-by-term write
-      // property the row-group min/max pruning relies on (PlanSpec)
-      .write.parquet(s"$mergedPath/postings")
-    spark.read.parquet(s"$mergedPath/postings")
-      .groupBy($"term")
-      .agg(sum($"df").as("df"), sum($"cf").as("cf"),
-        max($"maxTfNorm").as("maxTfNorm"))
-      .as[DictEntry]
-      .write.parquet(s"$mergedPath/dict")
-    // stats: exact sums — deleted docs keep contributing until compact(),
-    // exactly as MultiSearcher aggregates the per-generation rows today
-    val parts = gens.map(g =>
-      spark.read.parquet(s"$g/stats").as[IndexStats].head())
-    val nn = parts.map(_.n).sum
-    val t = parts.map(_.totalTokens).sum
-    Seq(IndexStats(nn, t, if (nn == 0) 0.0 else t.toDouble / nn, bucketSize))
-      .toDS().coalesce(1).write.parquet(s"$mergedPath/stats")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$mergedPath/FORMAT"),
-      IndexBuilder.FormatVersion)
+    mergeStage("docs") {
+      spark.read.parquet(gens.map(g => s"$g/docs"): _*)
+        .write.parquet(s"$mergedPath/docs")
+      val linDirs = gens.map(g => s"$g/lineage")
+        .filter(p => new java.io.File(p).exists())
+      if (linDirs.nonEmpty)
+        spark.read.parquet(linDirs: _*).write.parquet(s"$mergedPath/lineage")
+    }
+    mergeStage("postings") {
+      spark.read.parquet(gens.map(g => s"$g/postings"): _*).as[PostingRun]
+        .groupByKey(r => (r.term, r.bucket))
+        .mapGroups { (key: (String, Int), it: Iterator[PostingRun]) =>
+          val rs = it.toArray.sortBy(
+            _.blocks.headOption.map(_.firstDocId).getOrElse(Long.MaxValue))
+          PostingRun(key._1, key._2, rs.map(_.df).sum, rs.map(_.cf).sum,
+            rs.map(_.maxTfNorm).max, rs.iterator.flatMap(_.blocks).toVector)
+        }
+        .sortWithinPartitions($"term") // keep the sorted-by-term write
+        // property the row-group min/max pruning relies on (PlanSpec)
+        .write.parquet(s"$mergedPath/postings")
+    }
+    mergeStage("dict") {
+      spark.read.parquet(s"$mergedPath/postings")
+        .groupBy($"term")
+        .agg(sum($"df").as("df"), sum($"cf").as("cf"),
+          max($"maxTfNorm").as("maxTfNorm"))
+        .as[DictEntry]
+        .write.parquet(s"$mergedPath/dict")
+    }
+    mergeStage("stats") {
+      // stats: exact sums — deleted docs keep contributing until compact(),
+      // exactly as MultiSearcher aggregates the per-generation rows today
+      val parts = gens.map(g =>
+        spark.read.parquet(s"$g/stats").as[IndexStats].head())
+      val nn = parts.map(_.n).sum
+      val t = parts.map(_.totalTokens).sum
+      Seq(IndexStats(nn, t, if (nn == 0) 0.0 else t.toDouble / nn, bucketSize))
+        .toDS().coalesce(1).write.parquet(s"$mergedPath/stats")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$mergedPath/FORMAT"),
+        IndexBuilder.FormatVersion)
+    }
     // COMMIT POINT: once the marker exists the merged delta is
     // authoritative; generations() finishes the swap before answering
     java.nio.file.Files.writeString(java.nio.file.Paths.get(mergeMarker),
       "delta-merged is authoritative for every delta-N")
-    if (!crashBeforeSwap) finishMerge()
+    if (!crashBeforeSwap) mergeStage("swap") { finishMerge() }
   }
 
   private def mergedPath = s"$root/delta-merged"
