@@ -91,9 +91,11 @@ object ScalingBench {
       if (corpusBytes <= 0) Map.empty[String, String]
       else {
         val split = math.max(1L << 20, corpusBytes / 128)
+        // open cost stays at the 1 MB floor regardless of split size (a
+        // min(split, 1MB) with split ≥ 1MB would be a dead expression —
+        // round-5 review): small files must not be padded up to the split
         Map("spark.sql.files.maxPartitionBytes" -> split.toString,
-          "spark.sql.files.openCostInBytes" ->
-            math.min(split, 1L << 20).toString)
+          "spark.sql.files.openCostInBytes" -> (1L << 20).toString)
       }
     val spark = session(cores, s"graft-scaling-$cores", extra)
     try {

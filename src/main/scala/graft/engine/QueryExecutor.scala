@@ -123,6 +123,19 @@ class QueryExecutor(searcher: Searcher) {
   def execute(input: String, k: Int): Dataset[Hit] =
     executeAllHits(input).orderBy($"score".desc, $"docId".asc).limit(k)
 
+  /** Broadcast a top-k hit set only when k is page-sized. The reference
+    * pages at 100 (query/execute.rs:25-31), so the production join of
+    * docs-to-winners is a map-side broadcast with no shuffle of the docs
+    * table — but k is caller-controlled and the verify harness exports
+    * FULL match sets (AllK): past this bound the "tiny hit set" premise
+    * fails and the hits flow through a regular shuffle join instead
+    * (round-5 review — an unconditional broadcast of an unbounded match
+    * set is the same driver-side scale-killer executePage just shed).
+    */
+  private val BroadcastKMax = 10000
+  private def hitsSide(hits: DataFrame, k: Int): DataFrame =
+    if (k <= BroadcastKMax) broadcast(hits) else hits
+
   /** Full scored hit set of a query, unordered and un-limited — the shared
     * candidate pass that execute() tops and executePage() harvests
     * metadata from. A pure metadata listing stays a pushed-down filter
@@ -365,7 +378,7 @@ class QueryExecutor(searcher: Searcher) {
     import searcher.spark.implicits._
     val specs = snippetSpecs(input)
     val page = searcher.docs
-      .join(broadcast(execute(input, k).toDF()), "docId")
+      .join(hitsSide(execute(input, k).toDF(), k), "docId")
       .select($"docId", $"score", $"repo", $"path", $"lang", $"content",
         $"lineEnds")
       .as[PageRow]
@@ -550,10 +563,11 @@ class QueryExecutor(searcher: Searcher) {
           .map(l => if (l.isRegex) l.value
                     else java.util.regex.Pattern.quote(l.value))
         // docs side pruned to the ≤k winners via an explicit broadcast of
-        // the tiny hit set (mirrors executeWithSnippets; PlanSpec asserts
-        // the BroadcastHashJoin) — never a shuffle of the docs table
+        // the page-sized hit set (mirrors executeWithSnippets; PlanSpec
+        // asserts the BroadcastHashJoin) — never a shuffle of the docs
+        // table; unbounded k degrades to a shuffle join (hitsSide)
         searcher.docs.select($"docId", $"repo", $"path")
-          .join(broadcast(execute(input, k).toDF()), "docId")
+          .join(hitsSide(execute(input, k).toDF(), k), "docId")
           .select($"docId", $"score", $"repo", $"path")
           .as[FileHitRow]
           .map { r =>

@@ -24,6 +24,20 @@ import org.apache.spark.sql.functions._
   *
   * The freshness check is the D2 anti-join: rows whose (docKey,
   * contentSha) already exist in a live generation are skipped.
+  *
+  * CONCURRENCY CONTRACT — single accessor per root. Like the reference's
+  * single tantivy IndexWriter per index (indexes.rs holds one writer;
+  * sqlite serializes the cache), one IncrementalIndexer at a time may
+  * touch a root: every entry point (ingest / compact / mergeDeltas /
+  * migrate / searcher) may HEAL crash state — replay intent markers,
+  * remove partial deltas, bootstrap the repo index — and healing races
+  * an in-flight mutation on the same root (a concurrent searcher() would
+  * consume the mutation's REPO_REFRESH_INTENT mid-flight and delete
+  * files its refresh is writing). Callers that share a root across
+  * threads (e.g. a streaming ingest plus ad-hoc readers) must serialize
+  * through one indexer instance, exactly as they would share bloop's one
+  * writer. searcher() on a READ-ONLY root skips healing and refuses to
+  * serve when recovery work is pending (requireNoPendingRecovery).
   */
 class IncrementalIndexer(@transient val spark: SparkSession, root: String,
                          bucketSize: Long = 1L << 20) {
@@ -469,9 +483,12 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     // stale-format root (generations() throws before it), which is the
     // exact state migrate() serves (round-4 ADVICE). Keep only the
     // NEWEST version of each key: docIds ascend across generations, so
-    // max-docId per (repo, path, commit, branch) is the replay's survivor.
+    // max-docId per (repo, path, commit) is the replay's survivor — the
+    // SAME key tombstoneStaleVersions uses (a branch-string change rides
+    // a re-add, so keying on branch too would keep both versions of a
+    // file whose branch list grew; round-5 review).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"repo", $"path", $"commit", $"branch")
+      .partitionBy($"repo", $"path", $"commit")
     val live = withBranch
       .filter($"indexed")
       .join(readTombstones(), Seq("docId"), "left_anti")

@@ -215,11 +215,15 @@ object SymbolExtractor {
     "lock", "fixed", "try", "unchecked", "checked", "when")
 
   /** Words that cannot be the type/modifier token immediately BEFORE a
-    * definition name (`new Foo() {…}` is a Java anonymous class
-    * instantiation, `return foo(x)` a call).
+    * definition name: `new Foo() {…}` is a Java anonymous class
+    * instantiation, `return foo(x)` a call — and every control keyword,
+    * because `if constexpr (…) {` / `while LIKELY(cond) {` put an
+    * identifier between a control head and a parenthesized clause
+    * (round-5 review: `constexpr` was indexed as a definition). Types are
+    * never control keywords, so banning the whole SigNameBan set costs no
+    * recall.
     */
-  private val SigPrevBan = Set("return", "new", "throw", "case", "goto",
-    "else", "in", "do")
+  private val SigPrevBan = SigNameBan ++ Set("in")
 
   @inline private def isSigSep(c: Char): Boolean =
     isWs(c) || c == '*' || c == '&' || c == '<' || c == '>' ||
@@ -239,8 +243,12 @@ object SymbolExtractor {
     *     `noexcept(…)` (nested balanced parens allowed), the next char is
     *     '{' — a BODY, so prototypes (`;`) and calls never match.
     * The documented miss list: destructors (`~Foo`), K&R C definitions,
-    * and JS/TS class methods (bare `foo() {` has no preceding type token
-    * — matching it would also match every call-at-statement-start).
+    * JS/TS class methods (bare `foo() {` has no preceding type token —
+    * matching it would also match every call-at-statement-start), and
+    * parameter defaults containing paren/brace CHARACTER literals
+    * (`char sep = ')'` closes the balance early). Like the keyword
+    * scanner, the pass is comment/string-blind — the documented
+    * approximation of the reference's parsed scope graphs.
     */
   private[graft] def signatureRanges(content: String): Seq[(Int, Int)] = {
     val out = Vector.newBuilder[(Int, Int)]
@@ -281,7 +289,8 @@ object SymbolExtractor {
             if (c == '{') done = true
             else if (isWordChar(c) || isWs(c) || c == ',' || c == '<' ||
                      c == '>' || c == '[' || c == ']' || c == ':' ||
-                     c == '&' || c == '*') p += 1
+                     c == '&' || c == '*' || c == '-') p += 1 // '-' for
+            // C++ trailing returns: `auto f() -> int {` (round-5 review)
             else if (c == '(') {
               var d2 = 1
               p += 1
