@@ -113,6 +113,16 @@ object SparkEntry {
           lit("@mail.example.com from 10.0."), col("doc_id") % 256,
           lit(".7 id 123456"), col("doc_id")).as("text")))),
     "q_repetition" -> ((s, d) => TextOps.repetitionRatio(docs(s, d))),
+    "q_decontaminate" -> ((s, d) => { // 13-gram benchmark-overlap filter;
+      // the "benchmark" is derived deterministically from the corpus
+      // itself (first 30 words of every 20th doc — simulated eval leaks),
+      // so both engines build the identical eval set with no external data
+      val dd = docs(s, d)
+      val evalSet = dd.filter(col("doc_id") % 20 === 0)
+        .select(array_join(slice(TextOps.words(col("text")), 1, 30), " ")
+          .as("text"))
+      TextOps.decontaminate(dd, evalSet)
+    }),
     "q_langid" -> ((s, d) => TextOps.langIdScore(docs(s, d))),
     "q_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
     "q_stopword_filter" -> ((s, d) => TextOps.stopwordFiltered(docs(s, d))),
@@ -650,6 +660,31 @@ object SparkEntry {
            |      FROM (SELECT doc_id, w, count(*) AS tf FROM ($words)
            |            GROUP BY doc_id, w)
            |      GROUP BY doc_id)""".stripMargin,
+      "q_decontaminate" -> { // mirror of TextOps.decontaminate(n=13) over
+        // the derived eval set (first 30 words of every 20th doc): gram i
+        // = charHash of words [i, i+13) space-joined; range() stop is
+        // exclusive so i runs 1..len-12 — identical to Spark's
+        // sequence(1, size-12)
+        val gh = TextOps.charHashSql("gram")
+        s"""WITH ws AS (SELECT doc_id,
+           |    list_filter(string_split(text,' '), w -> w <> '') AS ws
+           |  FROM documents),
+           |tg AS (SELECT doc_id, $gh AS g
+           |  FROM (SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
+           |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-11)) AS i
+           |              FROM ws WHERE len(ws) >= 13))),
+           |ev AS (SELECT DISTINCT $gh AS g
+           |  FROM (SELECT array_to_string(e[i:i+12], ' ') AS gram
+           |        FROM (SELECT e, unnest(range(1, len(e)-11)) AS i
+           |              FROM (SELECT ws[1:30] AS e FROM ws
+           |                    WHERE doc_id % 20 = 0)
+           |              WHERE len(e) >= 13)))
+           |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |  CAST(count(e.g) AS BIGINT) AS n_matched,
+           |  count(e.g) > 0 AS contaminated
+           |FROM tg t LEFT JOIN ev e ON e.g = t.g
+           |GROUP BY t.doc_id""".stripMargin
+      },
       "q_langid" ->
         """SELECT doc_id, lang,
           |  round(CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)

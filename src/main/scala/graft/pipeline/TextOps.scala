@@ -182,6 +182,49 @@ object TextOps {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4)
           .as("repeated_mass"))
 
+  /** Distinct-position word-level n-gram hashes of a text: gram i is the
+    * charHash of words [i, i+n) joined by single spaces; texts with fewer
+    * than n words yield an empty array (sequence() would otherwise count
+    * DOWN from 1 and fabricate grams). Shared by decontaminate; string
+    * join + charHash (rather than combining word hashes) keeps the DuckDB
+    * mirror a one-liner.
+    */
+  def gramHashes(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => charHash(array_join(slice(ws, i, lit(n)), " "))))
+      .otherwise(typedLit(Seq.empty[Long]))
+  }
+
+  /** Benchmark decontamination: per training document, the count of
+    * word-level n-gram occurrences (n = 13, the GPT-3/PaLM overlap
+    * filter's gram size) that also appear in a held-out evaluation set,
+    * plus the contaminated flag. The eval side is distinct gram hashes of
+    * the benchmark texts — benchmarks are MBs against a 100 TB training
+    * corpus, so that side is explicitly broadcast and the train side
+    * stays a single explode → map-side hash join → map-side-combinable
+    * count per doc: one shuffle (the groupBy), no driver materialization,
+    * scales linearly in corpus size. Docs with fewer than n words carry
+    * no grams and are absent (vacuously clean). n_matched counts gram
+    * OCCURRENCES (a doc repeating a leaked gram counts each time), which
+    * both engines mirror exactly.
+    */
+  def decontaminate(documents: DataFrame, evalDocs: DataFrame,
+                    n: Int = 13, textCol: String = "text"): DataFrame = {
+    val trainGrams = documents
+      .select(col("doc_id"), explode(gramHashes(col(textCol), n)).as("g"))
+    val evalGrams = evalDocs
+      .select(explode(gramHashes(col(textCol), n)).as("g"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    trainGrams.join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count("*").as("n_grams"), count(col("hit")).as("n_matched"))
+      .select(col("doc_id"), col("n_grams"), col("n_matched"),
+        (col("n_matched") > 0).as("contaminated"))
+  }
+
   /** Token-budget text chunking with overlap — the training-pipeline
     * chunker (reference semantic/chunk.rs:76-99; 256-token budget with
     * overlap, config.rs:307-309) that feeds the embedding/ANN family.

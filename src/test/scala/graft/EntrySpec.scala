@@ -296,6 +296,29 @@ class EntrySpec extends AnyFunSuite {
     assert(got(2L) == ((4L, 0.25, 0.0)))
   }
 
+  test("decontaminate flags n-gram overlap with the eval set, counting " +
+    "occurrences; short docs carry no grams") {
+    import spark.implicits._
+    val leak = "one two three four five" // 5 words -> 3 grams at n=3
+    val docs = Seq(
+      (1L, s"prefix words here $leak suffix tail"), // contains all 3 grams
+      (2L, s"$leak and again $leak"),               // 3 grams, two sites:
+      // "three four five and" breaks the repeat — grams at both sites
+      // re-match individually (occurrence counting)
+      (3L, "completely unrelated content with many words present"),
+      (4L, "too short"))                            // < n words: absent
+      .toDF("doc_id", "text")
+    val evalSet = Seq(Tuple1(leak)).toDF("text")
+    val got = graft.pipeline.TextOps.decontaminate(docs, evalSet, n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got(1L) == ((8L, 3L, true)))
+    assert(got(2L)._2 == 6L && got(2L)._3) // both leak sites counted
+    assert(got(3L)._2 == 0L && !got(3L)._3)
+    assert(!got.contains(4L))
+  }
+
   test("minhashCandidates giant-bucket cap drops degenerate buckets only") {
     import spark.implicits._
     // 6 identical docs -> one clique bucket per band; 2 distinct docs
