@@ -126,17 +126,11 @@ object Bench {
     results += "simhash" -> tSim
     val (_, tCos) = timed(Similarity.cosineTopK(embs, 0L, 20).collect())
     results += "cosine_topk" -> tCos
-    // benchmark decontamination (13-gram eval overlap, broadcast eval side)
-    // over the same derived eval set the q_decontaminate oracle uses
-    locally {
-      import org.apache.spark.sql.functions._
-      val evalSet = docs.filter(col("doc_id") % 20 === 0)
-        .select(array_join(slice(
-          graft.pipeline.TextOps.words(col("text")), 1, 30), " ").as("text"))
-      val (_, tDecon) = timed(
-        graft.pipeline.TextOps.decontaminate(docs, evalSet).count())
-      results += "decontaminate" -> tDecon
-    }
+    // benchmark decontamination (13-gram eval overlap, broadcast eval
+    // side) over the same derived eval set the q_decontaminate oracle uses
+    val (_, tDecon) = timed(graft.pipeline.TextOps.decontaminate(docs,
+      graft.pipeline.TextOps.derivedEvalSet(docs)).count())
+    results += "decontaminate" -> tDecon
     // IVF split train vs probe (round-3 VERDICT: training is an
     // index-build artifact — ivf_topk times the PRODUCTION query path
     // over persisted centroids/cells, ivf_train the one-time build)

@@ -231,10 +231,16 @@ object ScalingBench {
     println(json)
     // join with "\n|": the enclosing template is stripMargin'd, which eats
     // one leading '|' from EVERY line — continuation lines need a margin
-    // pipe of their own or their table border is swallowed
+    // pipe of their own or their table border is swallowed.
+    // NO per-pair control column: the gated campaign drops DISCARDED
+    // engine pairs from the run histories but keeps every gate probe in
+    // the control histories, so a chronological zip would attribute
+    // discarded windows' probes to the surviving pairs (round-5 review —
+    // exactly that misalignment shipped once). Per-slot gate values live
+    // in the campaign gate log; the medians below are campaign-window
+    // statistics over ALL probe pairs, valid and discarded alike.
     val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
-      val ce = if (i < ctl.size) f"${ctl(i)}%.3f" else "—"
-      f"| ${i + 1} | ${a(0)}%.2f | ${b(0)}%.2f | ${eff(a(0), b(0))}%.3f | $ce |"
+      f"| ${i + 1} | ${a(0)}%.2f | ${b(0)}%.2f | ${eff(a(0), b(0))}%.3f |"
     }.mkString("\n|")
     val md =
       s"""## Measured scaling (ScalingBench campaign, synthetic corpus seed=42, $n files)
@@ -244,9 +250,11 @@ object ScalingBench {
          |measurement, identical parquet input, page cache pre-warmed with a
          |full untimed corpus read before every timed build. The headline is
          |the MEDIAN pair efficiency of the campaign — not a selected pair.
-         |The control column is a pure-CPU job (no I/O, no shuffle, same
-         |128-task granularity) measuring what the shared host allowed a
-         |perfectly parallel workload in the same minutes.
+         |Per-slot host-control (gate probe) values live in the campaign
+         |gate log; they are NOT tabulated per pair here because discarded
+         |slots keep their probes in the control history while losing
+         |their engine pair, so a positional join would misattribute
+         |windows.
          |
          |Heap scales with parallelism (3 GiB/core): the north rule's
          |N→4N-EXECUTOR scaling quadruples aggregate cluster memory, so the
@@ -257,16 +265,17 @@ object ScalingBench {
          |crossed the per-task spill threshold at 4N's smaller
          |memory-per-task).
          |
-         || pair | engine t_N s | engine t_4N s | engine eff | host-control eff |
-         ||---|---|---|---|---|
+         || pair | engine t_N s | engine t_4N s | engine eff |
+         ||---|---|---|---|
          |$rows
          |
          |**campaign median scaling efficiency (N→4N) = ${f"$median%.3f"}**;
          |steal-robust min-of-campaign estimator = **${f"$effMin%.3f"}**
          |(external steal only ever adds time, so per-level minima approach
          |the clean-host pair). Target ≥ 0.8, BASELINE.json north_rule.
-         |Host ceilings measured in the same windows: pure-CPU control
-         |median ${if (ctlMedian.isNaN) "n/a" else f"$ctlMedian%.3f"}; memory-bandwidth control median
+         |Host ceilings across the whole campaign window (medians over ALL
+         |gate probe pairs, valid and discarded slots alike): pure-CPU
+         |control median ${if (ctlMedian.isNaN) "n/a" else f"$ctlMedian%.3f"}; memory-bandwidth control median
          |${if (ctlMemMedian.isNaN) "n/a" else f"$ctlMemMedian%.3f"} (stream-xor at cache-line stride —
          |the shared memory system, not the cores, is what a shuffle/sort
          |stage actually contends on within ONE node; on a real N→4N

@@ -115,13 +115,10 @@ object SparkEntry {
     "q_repetition" -> ((s, d) => TextOps.repetitionRatio(docs(s, d))),
     "q_decontaminate" -> ((s, d) => { // 13-gram benchmark-overlap filter;
       // the "benchmark" is derived deterministically from the corpus
-      // itself (first 30 words of every 20th doc — simulated eval leaks),
-      // so both engines build the identical eval set with no external data
+      // itself (TextOps.derivedEvalSet), so both engines build the
+      // identical eval set with no external data
       val dd = docs(s, d)
-      val evalSet = dd.filter(col("doc_id") % 20 === 0)
-        .select(array_join(slice(TextOps.words(col("text")), 1, 30), " ")
-          .as("text"))
-      TextOps.decontaminate(dd, evalSet)
+      TextOps.decontaminate(dd, TextOps.derivedEvalSet(dd))
     }),
     "q_langid" -> ((s, d) => TextOps.langIdScore(docs(s, d))),
     "q_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d))),

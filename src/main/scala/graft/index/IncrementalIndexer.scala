@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * is on (repo, path, commit, score)).
   *
   * The freshness check is the D2 anti-join: rows whose (docKey,
-  * contentSha) already exist in a live generation are skipped.
+  * contentSha, branch) already exist in a live generation are skipped.
   *
   * CONCURRENCY CONTRACT — single accessor per root. Like the reference's
   * single tantivy IndexWriter per index (indexes.rs holds one writer;
@@ -87,7 +87,8 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     val gens = generations()
     if (gens.isEmpty) None
     else Some(gens.map(g => spark.read.parquet(s"$g/docs")
-        .select($"docId", $"repo", $"path", $"commit", $"contentSha"))
+        .select($"docId", $"repo", $"path", $"commit", $"contentSha",
+          $"branch"))
       .reduce(_ union _)
       .join(readTombstones(), Seq("docId"), "left_anti"))
   }
@@ -136,7 +137,8 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
   }
 
   /** Ingest a batch of corpus rows:
-    *   1. freshness anti-join (D2): unchanged (docKey, contentSha) skipped;
+    *   1. freshness anti-join (D2): unchanged (docKey, contentSha, branch)
+    *      skipped — content OR branch-list changes re-add;
     *   2. changed keys: old docIds tombstoned (delete-by-hash, S8);
     *   3. remaining rows → a new delta generation, docIds offset past all
     *      existing ones.
@@ -151,14 +153,24 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
   private[graft] def ingest(batch: DataFrame,
                             crashAfterDelta: Boolean): Long = {
     healIngest()
-    val withSha =
+    val withSha0 =
       if (batch.columns.contains("contentSha")) batch
       else batch.withColumn("contentSha", sha2($"content", 256))
+    // branch normalized exactly as buildDocs does (absent → "") so it can
+    // join against the stored field. branch is PART of the freshness key:
+    // a row whose branch list changed but whose content did not (a release
+    // branch moved onto the commit) must re-add, or `branch:` queries
+    // serve the stale list forever — the anti-join would otherwise
+    // classify it as unchanged (round-5 review).
+    val withSha =
+      if (withSha0.columns.contains("branch")) withSha0
+      else withSha0.withColumn("branch", lit(""))
     val fresh = liveDocs() match {
       case None => withSha
       case Some(live) =>
-        withSha.join(live.select($"repo", $"path", $"commit", $"contentSha"),
-          Seq("repo", "path", "commit", "contentSha"), "left_anti")
+        withSha.join(
+          live.select($"repo", $"path", $"commit", $"contentSha", $"branch"),
+          Seq("repo", "path", "commit", "contentSha", "branch"), "left_anti")
     }
     // Materialize the fresh rows ONCE to a staging dir before touching the
     // tombstone files: the `fresh` plan scans the current tombstone

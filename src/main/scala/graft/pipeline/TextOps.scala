@@ -222,6 +222,17 @@ object TextOps {
     * OCCURRENCES (a doc repeating a leaked gram counts each time), which
     * both engines mirror exactly.
     */
+  /** The derived "benchmark" q_decontaminate and the bench key share:
+    * first 30 words of every 20th document — simulated eval leaks,
+    * deterministic, no external data. One definition so the timed
+    * workload and the oracle-verified workload can never drift (the
+    * DuckDB mirror hardcodes the same %20 / first-30 constants;
+    * round-5 review).
+    */
+  def derivedEvalSet(documents: DataFrame): DataFrame =
+    documents.filter(col("doc_id") % 20 === 0)
+      .select(array_join(slice(words(col("text")), 1, 30), " ").as("text"))
+
   def decontaminate(documents: DataFrame, evalDocs: DataFrame,
                     n: Int = 13, textCol: String = "text"): DataFrame = {
     val trainGrams = documents

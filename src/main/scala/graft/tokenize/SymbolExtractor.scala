@@ -289,8 +289,13 @@ object SymbolExtractor {
             if (c == '{') done = true
             else if (isWordChar(c) || isWs(c) || c == ',' || c == '<' ||
                      c == '>' || c == '[' || c == ']' || c == ':' ||
-                     c == '&' || c == '*' || c == '-') p += 1 // '-' for
-            // C++ trailing returns: `auto f() -> int {` (round-5 review)
+                     c == '&' || c == '*') p += 1
+            else if (c == '-' && p + 1 < n && content.charAt(p + 1) == '>')
+              p += 2 // ONLY as the '->' arrow (C++ trailing return:
+            // `auto f() -> int {`); a bare '-' must keep terminating the
+            // trailer or subtraction-then-brace-init shapes like
+            // `Buf<capacity() - 1> b {};` index the CALL as a definition
+            // (round-5 review, twice)
             else if (c == '(') {
               var d2 = 1
               p += 1

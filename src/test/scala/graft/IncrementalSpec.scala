@@ -84,6 +84,27 @@ class IncrementalSpec extends AnyFunSuite {
     assert(liveForKey == 1L)
   }
 
+  test("branch-only change re-adds: same content, grown branch list " +
+    "replaces the old doc (freshness key includes branch)") {
+    val root = TestSpark.tempDir("inc-branch")
+    val inc = new IncrementalIndexer(spark, root, bucketSize = 64)
+    inc.buildBase(corpusA) // no branch column -> stored as ""
+    val victim = corpusA.limit(1).collect()(0)
+    val rebranched = Seq((victim.getString(0), victim.getString(1),
+      victim.getString(2), victim.getString(3), victim.getString(4),
+      "main release-1"))
+      .toDF("repo", "path", "commit", "lang", "content", "branch")
+    // same content => before the round-5 fix this was skipped as unchanged
+    assert(inc.ingest(rebranched) == 1L)
+    val ms = inc.searcher()
+    val live = ms.docs.filter(col("repo") === victim.getString(0) &&
+      col("path") === victim.getString(1)).select("branch").collect()
+    assert(live.length == 1, "old branch version must be tombstoned")
+    assert(live(0).getString(0) == "main release-1")
+    // idempotent: the same branch list again is now unchanged
+    assert(inc.ingest(rebranched) == 0L)
+  }
+
   test("second update-ingest after tombstones exist (tombstone-file swap regression)") {
     // regression: `fresh` used to lazily scan the tombstone parquet that
     // appendTombstones had already swapped out → FileNotFoundException

@@ -186,6 +186,17 @@ class QueryExecutorSpec extends AnyFunSuite {
     assert(SymbolExtractor.symbolNames(
       "int add(int a, int b);\nint add(int a, int b) { return a + b; }",
       "c") == Seq("add"))
+    // round-5 review shapes: control-head macros/specifiers are not
+    // definitions; '-' is a trailer char ONLY as the '->' arrow, so a
+    // subtraction before a brace-init does not turn the call into one
+    assert(SymbolExtractor.symbolNames(
+      "void f() { if constexpr (sizeof(int) == 4) { g(); } }",
+      "cpp") == Seq("f"))
+    assert(SymbolExtractor.symbolNames(
+      "auto scale(int x) -> int { return x * 2; }", "cpp") == Seq("scale"))
+    assert(SymbolExtractor.symbolNames(
+      "void h() { Buf<capacity() - 1> b {}; int a[f(1) - 1] {}; }",
+      "cpp") == Seq("h"))
   }
 
   test("snippets: match expansion, merge, highlights (snippet.rs semantics)") {
