@@ -113,6 +113,9 @@ object SparkEntry {
           lit("@mail.example.com from 10.0."), col("doc_id") % 256,
           lit(".7 id 123456"), col("doc_id")).as("text")))),
     "q_repetition" -> ((s, d) => TextOps.repetitionRatio(docs(s, d))),
+    "q_vocab" -> ((s, d) => // BPE-pre-token frequency table, top-200 —
+      // the tokenizer-training counting stage (deterministic tiebreak)
+      TextOps.vocab(docs(s, d))),
     "q_decontaminate" -> ((s, d) => { // 13-gram benchmark-overlap filter;
       // the "benchmark" is derived deterministically from the corpus
       // itself (TextOps.derivedEvalSet), so both engines build the
@@ -504,6 +507,13 @@ object SparkEntry {
            |WHERE w <> '' GROUP BY doc_id""".stripMargin,
       "q_term_df" ->
         s"SELECT w AS term, count(DISTINCT doc_id) AS df FROM ($words) GROUP BY w",
+      "q_vocab" -> // mirror of TextOps.vocab(k=200): BPE-pre-token corpus
+        // frequency table with the deterministic (freq desc, token asc)
+        // tiebreak
+        s"""SELECT token, count(*) AS freq
+           |FROM (SELECT unnest(regexp_extract_all(text, '${TextOps.BpeTokenRegex}')) AS token
+           |      FROM documents)
+           |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 200""".stripMargin,
       "q_bm25_topk" -> bm25OracleSql("merge", "join", 50),
       "q_exact_dedup" ->
         "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dupes FROM documents GROUP BY md5(text)",

@@ -222,6 +222,23 @@ object TextOps {
     * OCCURRENCES (a doc repeating a leaked gram counts each time), which
     * both engines mirror exactly.
     */
+  /** Vocabulary induction: the corpus-wide frequency table of BPE-style
+    * pre-tokens, top-K — the counting stage a tokenizer-training pipeline
+    * (BPE/unigram) runs over the whole corpus before any merges. One
+    * explode + map-side-combinable count + TakeOrdered(K): the shuffle
+    * carries one row per DISTINCT pre-token (vocabulary-sized, not
+    * corpus-sized) and the driver sees exactly K rows at any corpus
+    * size. Ordering is fully deterministic: count desc, then token asc.
+    */
+  def vocab(documents: DataFrame, k: Int = 200): DataFrame =
+    documents
+      .select(explode(
+        expr(s"regexp_extract_all(text, '$BpeTokenRegex', 0)")).as("token"))
+      .groupBy("token")
+      .agg(count("*").as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
   /** The derived "benchmark" q_decontaminate and the bench key share:
     * first 30 words of every 20th document — simulated eval leaks,
     * deterministic, no external data. One definition so the timed

@@ -296,6 +296,23 @@ class EntrySpec extends AnyFunSuite {
     assert(got(2L) == ((4L, 0.25, 0.0)))
   }
 
+  test("vocab counts BPE pre-tokens corpus-wide with a deterministic " +
+    "(freq desc, token asc) tiebreak and a hard top-k bound") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abc abc xyz"),  // " abc" x1 leading-space + "abc" x1 + " xyz"
+      (2L, "abc 42, 42"))   // "abc" head form + " 42" x2 + ","
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TextOps.vocab(docs, k = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // Pre-tokens: doc1 -> "abc"," abc"," xyz"; doc2 -> "abc"," 42",","," 42"
+    // freq: "abc"=2, " 42"=2, " abc"=1, " xyz"=1, ","=1 -> top-4 with
+    // asc-token tiebreak at both the 2-band and the 1-band cut
+    // (" "=0x20 sorts before letters and before ",").
+    assert(got.toSeq ==
+      Seq((" 42", 2L), ("abc", 2L), (" abc", 1L), (" xyz", 1L)))
+  }
+
   test("decontaminate flags n-gram overlap with the eval set, counting " +
     "occurrences; short docs carry no grams") {
     import spark.implicits._
