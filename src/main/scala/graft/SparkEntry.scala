@@ -47,6 +47,13 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Data-mixing demo rates for q_sample — ONE definition shared by the
+    * engine call and the SQL oracle so the mixture can never drift.
+    */
+  val SampleRates: Map[String, Double] =
+    Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25)
+  val SampleDefault: Double = 0.1
+
   /** Flagship: end-to-end index build + conjunctive BM25 top-k on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
     val s = indexFor(spark, "/root/testdata/sf0.001")
@@ -116,6 +123,17 @@ object SparkEntry {
     "q_vocab" -> ((s, d) => // BPE-pre-token frequency table, top-200 —
       // the tokenizer-training counting stage (deterministic tiebreak)
       TextOps.vocab(docs(s, d))),
+    "q_sample" -> ((s, d) => // deterministic stratified sampling — the
+      // data-mixing stage; per-language keep rates, hash-portable
+      TextOps.stratifiedSample(docs(s, d), SampleRates, SampleDefault)),
+    "q_pack" -> ((s, d) => // sharded sequence packing: where each doc
+      // lands (shard, seq index, token offset) when concatenated into
+      // fixed-budget training sequences
+      TextOps.packSequences(docs(s, d), budget = 64, shardSize = 32)),
+    "q_dedup_keep" -> ((s, d) => // terminal dedup stage: the corpus that
+      // survives near-dup clustering (drop non-representative members)
+      Dedup.keepAfterClustering(docs(s, d),
+        Dedup.duplicateClusters(Dedup.minhashStarEdges(docs(s, d))))),
     "q_decontaminate" -> ((s, d) => { // 13-gram benchmark-overlap filter;
       // the "benchmark" is derived deterministically from the corpus
       // itself (TextOps.derivedEvalSet), so both engines build the
@@ -482,6 +500,26 @@ object SparkEntry {
     val bmwFrom =
       """FROM s1 JOIN s2 USING ("docId") JOIN lens USING ("docId") JOIN ids i USING ("docId")
         |CROSS JOIN stats CROSS JOIN d1 CROSS JOIN d2""".stripMargin
+    // Shared by q_dedup_clusters and q_dedup_keep: MinHash bands → LSH
+    // clique pairs → symmetric edges → recursive-CTE reachability →
+    // min-label components (the oracle computes the same components the
+    // engine's star-reduced pointer-jumping CC computes).
+    val dedupClustersSql = (wordsSel: String) =>
+      s"""WITH RECURSIVE wh AS (SELECT DISTINCT doc_id, ${charHash("w")} AS wh FROM ($wordsSel)),
+         |mh AS (SELECT doc_id, seed, min(((2*seed+1)*wh + (1000003*seed+12345)) % 1000000007) AS minhash
+         |       FROM wh CROSS JOIN (SELECT unnest(range(0,12)) AS seed) GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+         |            string_agg(minhash, ',' ORDER BY seed) AS sig
+         |          FROM mh GROUP BY doc_id, seed // 3),
+         |pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |            AND a.doc_id < b.doc_id),
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
     Map(
       "q_count" -> "SELECT count(*) AS n FROM documents",
       "q_lang_freq" ->
@@ -514,6 +552,23 @@ object SparkEntry {
            |FROM (SELECT unnest(regexp_extract_all(text, '${TextOps.BpeTokenRegex}')) AS token
            |      FROM documents)
            |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 200""".stripMargin,
+      "q_sample" -> // mirror of TextOps.stratifiedSample: two-round Knuth
+        // multiplicative hash of doc_id vs per-language CASE thresholds
+        s"""SELECT doc_id, lang, h FROM (
+           |  SELECT doc_id, lang, ${TextOps.sampleHashSql("doc_id")} AS h
+           |  FROM documents)
+           |WHERE h < ${TextOps.sampleThresholdSql(SampleRates, SampleDefault)}""".stripMargin,
+      "q_pack" -> // mirror of TextOps.packSequences(budget=64, shardSize=32):
+        // sharded cumulative token counts -> sequence index + offset
+        """WITH t AS (SELECT doc_id, doc_id // 32 AS shard,
+          |             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+          |           FROM documents),
+          |c AS (SELECT doc_id, shard, n_tokens,
+          |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+          |      FROM t)
+          |SELECT doc_id, shard, cum_before // 64 AS seq_id,
+          |       cum_before % 64 AS offset, n_tokens FROM c""".stripMargin,
       "q_bm25_topk" -> bm25OracleSql("merge", "join", 50),
       "q_exact_dedup" ->
         "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dupes FROM documents GROUP BY md5(text)",
@@ -562,22 +617,14 @@ object SparkEntry {
            |                JOIN sb bb ON bb.doc_id = doc_id_b AND bb.band = ba.band
            |      GROUP BY doc_id_a, doc_id_b)
            |SELECT doc_id_a, doc_id_b, hamming FROM j WHERE hamming <= 3""".stripMargin,
-      "q_dedup_clusters" ->
-        s"""WITH RECURSIVE wh AS (SELECT DISTINCT doc_id, ${charHash("w")} AS wh FROM ($words)),
-           |mh AS (SELECT doc_id, seed, min(((2*seed+1)*wh + (1000003*seed+12345)) % 1000000007) AS minhash
-           |       FROM wh CROSS JOIN (SELECT unnest(range(0,12)) AS seed) GROUP BY doc_id, seed),
-           |bands AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-           |            string_agg(minhash, ',' ORDER BY seed) AS sig
-           |          FROM mh GROUP BY doc_id, seed // 3),
-           |pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-           |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-           |            AND a.doc_id < b.doc_id),
-           |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
-           |reach(id, r) AS (
-           |  SELECT a, a FROM edges
-           |  UNION
-           |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
-           |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+      "q_dedup_clusters" -> dedupClustersSql(words),
+      "q_dedup_keep" -> // terminal dedup stage: documents minus
+        // non-representative cluster members (min-id doc survives;
+        // singletons survive by absence from the cluster table)
+        ("WITH clusters AS (\n" + dedupClustersSql(words) + ")\n" +
+          "SELECT doc_id, lang, n_chars FROM documents\n" +
+          "WHERE doc_id NOT IN " +
+          "(SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)"),
       "q_event_sessions" ->
         """WITH e AS (SELECT user_id, event_id, ts,
           |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),

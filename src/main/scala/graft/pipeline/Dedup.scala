@@ -342,6 +342,24 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dedup keep-list: the corpus that survives clustering — every
+    * document except non-representative cluster members (the cluster's
+    * min-id doc stands for the whole cluster; singletons never enter the
+    * cluster table and survive by absence). This is the terminal stage of
+    * the dedup family: clusters (from duplicateClusters /
+    * duplicateClustersStars) → one anti-join on doc_id → the training
+    * corpus. The anti-join hashes on doc_id only (the drop-list is
+    * cluster-members-minus-representatives, far smaller than the corpus)
+    * and nothing is ever driver-materialized — scales as one shuffle.
+    */
+  def keepAfterClustering(documents: DataFrame,
+                          clusters: DataFrame): DataFrame =
+    documents.join(
+        clusters.filter(col("doc_id") =!= col("cluster_id"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+
   /** Word-set Jaccard similarity of consecutive doc pairs (doc_id, doc_id+1)
     * — the n-gram-Jaccard near-dup measure demonstrated on a deterministic
     * O(n) pair set (the LSH bucket join above picks the pairs at scale).

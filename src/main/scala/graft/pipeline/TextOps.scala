@@ -267,6 +267,76 @@ object TextOps {
         (col("n_matched") > 0).as("contaminated"))
   }
 
+  /** Deterministic stratified sampling — the data-mixing stage that
+    * up-/down-weights corpus strata (language, source) before training.
+    * Each doc draws a pseudo-uniform value from two rounds of Knuth
+    * multiplicative hashing of its id (pure BIGINT arithmetic, no
+    * overflow: ids ≪ 2^33 and the intermediate stays < 2^31·k < 2^63),
+    * and survives iff hash < floor(rate(stratum)·2^20). Fully
+    * deterministic and engine-portable — the same doc survives in Spark
+    * and in the SQL oracle, under re-runs, and under repartitioning,
+    * which is what makes mixtures reproducible at 100 TB. Shuffle-free
+    * Column filter; rates resolve via a literal CASE chain (no join).
+    */
+  val SampleM = 1048576L // 2^20 hash buckets
+  private val Knuth = 2654435761L
+  def sampleHash(id: Column): Column =
+    ((id * Knuth % 2147483648L) * Knuth + id) % SampleM
+  def sampleHashSql(id: String): String =
+    s"(($id * 2654435761 % 2147483648) * 2654435761 + $id) % 1048576"
+  def stratifiedSample(documents: DataFrame, rates: Map[String, Double],
+                       defaultRate: Double,
+                       stratumCol: String = "lang"): DataFrame = {
+    val thr = rates.foldLeft(lit((defaultRate * SampleM).toLong)) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit((rate * SampleM).toLong))
+          .otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col(stratumCol),
+        sampleHash(col("doc_id")).as("h"))
+      .filter(col("h") < thr)
+  }
+
+  /** SQL CASE chain mirroring stratifiedSample's threshold resolution. */
+  def sampleThresholdSql(rates: Map[String, Double], defaultRate: Double,
+                         stratumCol: String = "lang"): String = {
+    val whens = rates.toSeq.sortBy(_._1).map { case (s, r) =>
+      s"WHEN $stratumCol = '$s' THEN ${(r * SampleM).toLong}"
+    }.mkString(" ")
+    s"CASE $whens ELSE ${(defaultRate * SampleM).toLong} END"
+  }
+
+  /** Sequence packing — the stage that concatenates documents into
+    * fixed-budget training sequences (GPT-style packing: documents are
+    * laid end to end in a deterministic order and cut every `budget`
+    * tokens). A single global order would be one totally-ordered window
+    * (single reducer — a scale killer), so packing is SHARDED exactly as
+    * production packers do: docs are grouped into shards of `shardSize`
+    * consecutive ids, each shard packs independently, and the window
+    * partitions by shard — every partition is bounded and the shuffle is
+    * one hash exchange. Emits where each doc starts: its shard, the
+    * sequence index within the shard (floor(tokens-before / budget)) and
+    * the token offset inside that sequence. Window-function arithmetic
+    * only — mirrored exactly in the SQL oracle.
+    */
+  def packSequences(documents: DataFrame, budget: Int = 2048,
+                    shardSize: Int = 128): DataFrame = {
+    require(budget > 0 && shardSize > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"),
+        expr(s"doc_id div $shardSize").as("shard"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"),
+        expr(s"cum_before div $budget").as("seq_id"),
+        expr(s"cum_before % $budget").as("offset"),
+        col("n_tokens"))
+  }
+
   /** Token-budget text chunking with overlap — the training-pipeline
     * chunker (reference semantic/chunk.rs:76-99; 256-token budget with
     * overlap, config.rs:307-309) that feeds the embedding/ANN family.

@@ -296,6 +296,61 @@ class EntrySpec extends AnyFunSuite {
     assert(got(2L) == ((4L, 0.25, 0.0)))
   }
 
+  test("stratifiedSample keeps everything at rate 1.0, nothing at 0.0, " +
+    "and lower-rate survivors are a subset of higher-rate survivors") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"lang${i % 3}"))
+      .toDF("doc_id", "lang")
+    def kept(r: Double): Set[Long] =
+      graft.pipeline.TextOps.stratifiedSample(docs, Map.empty, r)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(1.0).size == 200)
+    assert(kept(0.0).isEmpty)
+    val half = kept(0.5)
+    val quarter = kept(0.25)
+    assert(quarter.subsetOf(half)) // thresholding one hash => nested samples
+    assert(half.size > 60 && half.size < 140) // roughly proportional
+    // per-stratum override: rate 1.0 for lang0 keeps ALL lang0 docs
+    val mixed = graft.pipeline.TextOps
+      .stratifiedSample(docs, Map("lang0" -> 1.0), 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mixed == (0L until 200L).filter(_ % 3 == 0).toSet)
+    assert(kept(0.5) == half) // deterministic under re-run
+  }
+
+  test("packSequences assigns shard/seq/offset by sharded cumulative " +
+    "token counts") {
+    import spark.implicits._
+    def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(4, 3, 5, 2, 6, 1).zipWithIndex
+      .map { case (n, i) => (i.toLong, txt(n)) }.toDF("doc_id", "text")
+    val got = graft.pipeline.TextOps
+      .packSequences(docs, budget = 10, shardSize = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // shard 0: ids 0-3, cum_before 0,4,7,12 -> seq 0,0,0,1; off 0,4,7,2
+    assert(got(0L) == ((0L, 0L, 0L, 4L)))
+    assert(got(1L) == ((0L, 0L, 4L, 3L)))
+    assert(got(2L) == ((0L, 0L, 7L, 5L)))
+    assert(got(3L) == ((0L, 1L, 2L, 2L)))
+    // shard 1: ids 4,5, cum_before 0,6 -> seq 0,0; off 0,6
+    assert(got(4L) == ((1L, 0L, 0L, 6L)))
+    assert(got(5L) == ((1L, 0L, 6L, 1L)))
+  }
+
+  test("keepAfterClustering drops non-representative cluster members " +
+    "and keeps singletons by absence") {
+    import spark.implicits._
+    val docs = (1L to 5L).map(i => (i, "en", i * 10))
+      .toDF("doc_id", "lang", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val kept = graft.pipeline.Dedup.keepAfterClustering(docs, clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
   test("vocab counts BPE pre-tokens corpus-wide with a deterministic " +
     "(freq desc, token asc) tiebreak and a hard top-k bound") {
     import spark.implicits._
