@@ -22,15 +22,12 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
   */
 object SparkEntry {
 
-  /** documents table → the input_hint corpus shape. */
+  /** documents table → the input_hint corpus shape (schema-validated
+    * through the same contract every source — incl. the production
+    * Iceberg reader, `sources.CorpusSource.iceberg` — goes through).
+    */
   def corpusFromDocuments(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(
-        col("source").as("repo"),
-        concat(lit("doc/"), col("doc_id")).as("path"),
-        substring(sha2(col("text"), 256), 1, 40).as("commit"),
-        col("lang"),
-        col("text").as("content"))
+    graft.sources.CorpusSource.fromDocuments(spark, sfDir)
 
   /** Build (or resume) the inverted index for a corpus dir; cached across
     * queries of one Verify/Bench run via the `_SUCCESS` resume markers.
