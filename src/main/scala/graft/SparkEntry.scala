@@ -50,6 +50,11 @@ object SparkEntry {
   val SampleRates: Map[String, Double] =
     Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25)
   val SampleDefault: Double = 0.1
+  // q_pack / q_vocab tuning literals — one definition for the engine call
+  // AND the oracle SQL (same no-drift rule as SampleRates)
+  val PackBudget = 64
+  val PackShardSize = 32
+  val VocabK = 200
 
   /** Flagship: end-to-end index build + conjunctive BM25 top-k on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
@@ -117,20 +122,22 @@ object SparkEntry {
           lit("@mail.example.com from 10.0."), col("doc_id") % 256,
           lit(".7 id 123456"), col("doc_id")).as("text")))),
     "q_repetition" -> ((s, d) => TextOps.repetitionRatio(docs(s, d))),
-    "q_vocab" -> ((s, d) => // BPE-pre-token frequency table, top-200 —
+    "q_vocab" -> ((s, d) => // BPE-pre-token frequency table, top-K —
       // the tokenizer-training counting stage (deterministic tiebreak)
-      TextOps.vocab(docs(s, d))),
+      TextOps.vocab(docs(s, d), k = VocabK)),
     "q_sample" -> ((s, d) => // deterministic stratified sampling — the
       // data-mixing stage; per-language keep rates, hash-portable
       TextOps.stratifiedSample(docs(s, d), SampleRates, SampleDefault)),
     "q_pack" -> ((s, d) => // sharded sequence packing: where each doc
       // lands (shard, seq index, token offset) when concatenated into
       // fixed-budget training sequences
-      TextOps.packSequences(docs(s, d), budget = 64, shardSize = 32)),
+      TextOps.packSequences(docs(s, d), budget = PackBudget,
+        shardSize = PackShardSize)),
     "q_dedup_keep" -> ((s, d) => // terminal dedup stage: the corpus that
       // survives near-dup clustering (drop non-representative members)
       Dedup.keepAfterClustering(docs(s, d),
-        Dedup.duplicateClusters(Dedup.minhashStarEdges(docs(s, d))))),
+        Dedup.duplicateClusters(Dedup.minhashStarEdges(docs(s, d))))
+        .select("doc_id", "lang", "n_chars")),
     "q_decontaminate" -> ((s, d) => { // 13-gram benchmark-overlap filter;
       // the "benchmark" is derived deterministically from the corpus
       // itself (TextOps.derivedEvalSet), so both engines build the
@@ -548,24 +555,25 @@ object SparkEntry {
         s"""SELECT token, count(*) AS freq
            |FROM (SELECT unnest(regexp_extract_all(text, '${TextOps.BpeTokenRegex}')) AS token
            |      FROM documents)
-           |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 200""".stripMargin,
+           |GROUP BY token ORDER BY freq DESC, token ASC LIMIT $VocabK""".stripMargin,
       "q_sample" -> // mirror of TextOps.stratifiedSample: two-round Knuth
         // multiplicative hash of doc_id vs per-language CASE thresholds
         s"""SELECT doc_id, lang, h FROM (
            |  SELECT doc_id, lang, ${TextOps.sampleHashSql("doc_id")} AS h
            |  FROM documents)
            |WHERE h < ${TextOps.sampleThresholdSql(SampleRates, SampleDefault)}""".stripMargin,
-      "q_pack" -> // mirror of TextOps.packSequences(budget=64, shardSize=32):
-        // sharded cumulative token counts -> sequence index + offset
-        """WITH t AS (SELECT doc_id, doc_id // 32 AS shard,
-          |             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
-          |           FROM documents),
-          |c AS (SELECT doc_id, shard, n_tokens,
-          |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-          |      FROM t)
-          |SELECT doc_id, shard, cum_before // 64 AS seq_id,
-          |       cum_before % 64 AS offset, n_tokens FROM c""".stripMargin,
+      "q_pack" -> // mirror of TextOps.packSequences at the shared
+        // PackBudget/PackShardSize: sharded cumulative token counts ->
+        // sequence index + offset
+        s"""WITH t AS (SELECT doc_id, doc_id // $PackShardSize AS shard,
+           |             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+           |           FROM documents),
+           |c AS (SELECT doc_id, shard, n_tokens,
+           |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           |      FROM t)
+           |SELECT doc_id, shard, cum_before // $PackBudget AS seq_id,
+           |       cum_before % $PackBudget AS offset, n_tokens FROM c""".stripMargin,
       "q_bm25_topk" -> bm25OracleSql("merge", "join", 50),
       "q_exact_dedup" ->
         "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dupes FROM documents GROUP BY md5(text)",

@@ -351,6 +351,9 @@ object Dedup {
     * corpus. The anti-join hashes on doc_id only (the drop-list is
     * cluster-members-minus-representatives, far smaller than the corpus)
     * and nothing is ever driver-materialized — scales as one shuffle.
+    * Returns the surviving rows with the input's full schema — callers
+    * project what they need (the op itself is corpus-schema-agnostic;
+    * only the `doc_id` key is required).
     */
   def keepAfterClustering(documents: DataFrame,
                           clusters: DataFrame): DataFrame =
@@ -358,7 +361,6 @@ object Dedup {
         clusters.filter(col("doc_id") =!= col("cluster_id"))
           .select("doc_id"),
         Seq("doc_id"), "left_anti")
-      .select("doc_id", "lang", "n_chars")
 
   /** Word-set Jaccard similarity of consecutive doc pairs (doc_id, doc_id+1)
     * — the n-gram-Jaccard near-dup measure demonstrated on a deterministic

@@ -269,21 +269,33 @@ object TextOps {
 
   /** Deterministic stratified sampling — the data-mixing stage that
     * up-/down-weights corpus strata (language, source) before training.
-    * Each doc draws a pseudo-uniform value from two rounds of Knuth
-    * multiplicative hashing of its id (pure BIGINT arithmetic, no
-    * overflow: ids ≪ 2^33 and the intermediate stays < 2^31·k < 2^63),
-    * and survives iff hash < floor(rate(stratum)·2^20). Fully
+    * Each doc draws a pseudo-uniform value from two multiply-add rounds
+    * MOD THE PRIME 1e9+7 over the id's two-prime residue split
+    * (id mod P, id mod P2) — by CRT that pair identifies the id up to
+    * P·P2 ≈ 10^18, so no high bits are discarded and no division is
+    * needed (Spark Column `/` is double division; a raw Knuth multiply
+    * would overflow Long at id ≈ 3.5e9). The prime moduli keep every
+    * intermediate < 10^18 (no overflow for ANY non-negative id) and the
+    * final fold onto 2^20 buckets near-uniform with no shared
+    * power-of-two structure (a pow2 modulus chain collapses to one
+    * linear congruence with provably-even output — both hash parities
+    * must be reachable or odd thresholds silently double rates). The
+    * doc survives iff hash < floor(rate(stratum)·2^20). Fully
     * deterministic and engine-portable — the same doc survives in Spark
     * and in the SQL oracle, under re-runs, and under repartitioning,
     * which is what makes mixtures reproducible at 100 TB. Shuffle-free
     * Column filter; rates resolve via a literal CASE chain (no join).
     */
-  val SampleM = 1048576L // 2^20 hash buckets
-  private val Knuth = 2654435761L
+  val SampleM = 1048576L // 2^20 rate buckets
+  private val SampleP2 = 998244353L // second prime for the CRT id split
+  private val K1 = 654435747L  // Knuth 2654435761 mod P
+  private val K2 = 961748941L  // prime < P
   def sampleHash(id: Column): Column =
-    ((id * Knuth % 2147483648L) * Knuth + id) % SampleM
+    ((((id % HashP) * K1 + (id % SampleP2)) % HashP)
+      * K2 + 12345L) % HashP % SampleM
   def sampleHashSql(id: String): String =
-    s"(($id * 2654435761 % 2147483648) * 2654435761 + $id) % 1048576"
+    s"(((($id % ${HashP}) * $K1 + ($id % $SampleP2)) % ${HashP})" +
+      s" * $K2 + 12345) % ${HashP} % $SampleM"
   def stratifiedSample(documents: DataFrame, rates: Map[String, Double],
                        defaultRate: Double,
                        stratumCol: String = "lang"): DataFrame = {

@@ -318,6 +318,23 @@ class EntrySpec extends AnyFunSuite {
     assert(kept(0.5) == half) // deterministic under re-run
   }
 
+  test("sampleHash covers both parities and survives the full id domain " +
+    "without overflow") {
+    import spark.implicits._
+    val small = (0L until 64L).map(Tuple1(_)).toDF("doc_id")
+    val parities = small
+      .select((graft.pipeline.TextOps.sampleHash(org.apache.spark.sql.functions.col("doc_id")) % 2)
+        .as("p")).distinct().collect().map(_.getLong(0)).toSet
+    assert(parities == Set(0L, 1L)) // a pow2-modulus chain yields only evens
+    // ids far beyond the raw-Knuth overflow point (~3.5e9) must not throw
+    // (ANSI mode) nor go negative (wrap)
+    val big = Seq(4000000000L, 123456789012345L, Long.MaxValue - 1)
+      .map(Tuple1(_)).toDF("doc_id")
+    val hs = big.select(graft.pipeline.TextOps.sampleHash(org.apache.spark.sql.functions.col("doc_id"))
+      .as("h")).collect().map(_.getLong(0))
+    assert(hs.forall(h => h >= 0 && h < graft.pipeline.TextOps.SampleM))
+  }
+
   test("packSequences assigns shard/seq/offset by sharded cumulative " +
     "token counts") {
     import spark.implicits._
