@@ -138,6 +138,10 @@ object SparkEntry {
       Dedup.keepAfterClustering(docs(s, d),
         Dedup.duplicateClusters(Dedup.minhashStarEdges(docs(s, d))))
         .select("doc_id", "lang", "n_chars")),
+    "q_dedup_firstwins" -> ((s, d) => // order-based dedup policy: first
+      // (lowest-id) occurrence survives any shared LSH bucket — the
+      // batch twin of streaming dedup (StreamingDedup, stream==batch)
+      Dedup.firstWinsKeep(docs(s, d)).select("doc_id", "lang", "n_chars")),
     "q_decontaminate" -> ((s, d) => { // 13-gram benchmark-overlap filter;
       // the "benchmark" is derived deterministically from the corpus
       // itself (TextOps.derivedEvalSet), so both engines build the
@@ -623,6 +627,20 @@ object SparkEntry {
            |      GROUP BY doc_id_a, doc_id_b)
            |SELECT doc_id_a, doc_id_b, hamming FROM j WHERE hamming <= 3""".stripMargin,
       "q_dedup_clusters" -> dedupClustersSql(words),
+      "q_dedup_firstwins" -> // keep iff no lower-id doc occupies any of
+        // the doc's band buckets (bucket-min comparison — no pair set)
+        s"""WITH wh AS (SELECT DISTINCT doc_id, ${charHash("w")} AS wh FROM ($words)),
+           |mh AS (SELECT doc_id, seed, min(((2*seed+1)*wh + (1000003*seed+12345)) % 1000000007) AS minhash
+           |       FROM wh CROSS JOIN (SELECT unnest(range(0,12)) AS seed) GROUP BY doc_id, seed),
+           |bands AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+           |            string_agg(minhash, ',' ORDER BY seed) AS sig
+           |          FROM mh GROUP BY doc_id, seed // 3),
+           |bmin AS (SELECT band, sig, min(doc_id) AS min_id FROM bands GROUP BY band, sig),
+           |dropped AS (SELECT b.doc_id FROM bands b
+           |            JOIN bmin m ON m.band = b.band AND m.sig = b.sig
+           |            GROUP BY b.doc_id HAVING min(m.min_id) < b.doc_id)
+           |SELECT doc_id, lang, n_chars FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
       "q_dedup_keep" -> // terminal dedup stage: documents minus
         // non-representative cluster members (min-id doc survives;
         // singletons survive by absence from the cluster table)

@@ -362,6 +362,31 @@ object Dedup {
           .select("doc_id"),
         Seq("doc_id"), "left_anti")
 
+  /** First-wins near-dedup: keep a document iff NO lower-id document
+    * shares any of its MinHash band buckets. This is the ORDER-BASED
+    * dedup policy (first occurrence survives) as opposed to the
+    * cluster-representative policy of [[keepAfterClustering]] — and it is
+    * the batch twin of streaming dedup, where "lower id" becomes "seen
+    * earlier in the stream" (graft.streaming.StreamingDedup processes
+    * id-ordered batches and matches this exactly; stream==batch test).
+    *
+    * Scale shape: no pair materialization at all — one groupBy computes
+    * each bucket's min id, one join + per-doc aggregate finds docs with
+    * an earlier bucket-mate, one anti-join keeps the rest. Giant buckets
+    * cost Σ|bucket| rows, never |bucket|²/2. Documents with no bands
+    * (empty text) collide with nothing and are kept.
+    */
+  def firstWinsKeep(documents: DataFrame): DataFrame = {
+    val bands = minhashBands(documents)
+    val bucketMin = bands.groupBy("band", "sig")
+      .agg(min("doc_id").as("min_id"))
+    val hasEarlier = bands.join(bucketMin, Seq("band", "sig"))
+      .groupBy("doc_id").agg(min("min_id").as("mn"))
+      .filter(col("mn") < col("doc_id"))
+      .select("doc_id")
+    documents.join(hasEarlier, Seq("doc_id"), "left_anti")
+  }
+
   /** Word-set Jaccard similarity of consecutive doc pairs (doc_id, doc_id+1)
     * — the n-gram-Jaccard near-dup measure demonstrated on a deterministic
     * O(n) pair set (the LSH bucket join above picks the pairs at scale).

@@ -36,4 +36,39 @@ class StreamingSpec extends AnyFunSuite {
       spark.read.parquet(dir)).collect().map(key).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("StreamingDedup over id-ordered batches == batch firstWinsKeep") {
+    import spark.implicits._
+    // duplicates WITHIN a batch (1~2), ACROSS batches (0~4, 2~5) and a
+    // singleton per batch; near-dups share the full word multiset so
+    // every band collides
+    val rows = Seq(
+      (0L, "shared template alpha beta gamma", "en"),
+      (1L, "unique first content here", "en"),
+      (2L, "unique first content here", "de"),   // in-batch dup of 1
+      (3L, "lonely document number three", "en"),
+      (4L, "shared template alpha beta gamma", "fr"), // cross-batch dup of 0
+      (5L, "content here unique first", "en"),   // same word set as 1
+      (6L, "completely fresh final text", "en"))
+    val df = rows.toDF("doc_id", "text", "lang")
+    val want = graft.pipeline.Dedup.firstWinsKeep(df)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want == Set(0L, 1L, 3L, 6L)) // sanity: policy drops 2,4,5
+
+    val in = TestSpark.tempDir("sdedup-in")
+    val out = TestSpark.tempDir("sdedup-out")
+    val chk = TestSpark.tempDir("sdedup-chk")
+    val state = TestSpark.tempDir("sdedup-state")
+    val sd = new graft.streaming.StreamingDedup(spark, state)
+    val q = sd.start(in, out, chk)
+    try {
+      df.filter($"doc_id" < 4).write.mode("append").parquet(in)
+      q.processAllAvailable() // batch 0: ids 0-3
+      df.filter($"doc_id" >= 4).write.mode("append").parquet(in)
+      q.processAllAvailable() // batch 1: ids 4-6 vs persisted state
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
 }
