@@ -131,6 +131,20 @@ object Bench {
     val (_, tDecon) = timed(graft.pipeline.TextOps.decontaminate(docs,
       graft.pipeline.TextOps.derivedEvalSet(docs)).count())
     results += "decontaminate" -> tDecon
+    // round-5 pipeline family: tokenizer-training count, data mixing,
+    // sequence packing, order-based near-dedup (all per-operation latency)
+    val (_, tVocab) = timed(
+      graft.pipeline.TextOps.vocab(docs, k = SparkEntry.VocabK).collect())
+    results += "vocab_top200" -> tVocab
+    val (_, tSample) = timed(graft.pipeline.TextOps.stratifiedSample(
+      docs, SparkEntry.SampleRates, SparkEntry.SampleDefault).count())
+    results += "stratified_sample" -> tSample
+    val (_, tPack) = timed(graft.pipeline.TextOps.packSequences(
+      docs, budget = SparkEntry.PackBudget,
+      shardSize = SparkEntry.PackShardSize).count())
+    results += "pack_sequences" -> tPack
+    val (_, tFw) = timed(Dedup.firstWinsKeep(docs).count())
+    results += "dedup_firstwins" -> tFw
     // IVF split train vs probe (round-3 VERDICT: training is an
     // index-build artifact — ivf_topk times the PRODUCTION query path
     // over persisted centroids/cells, ivf_train the one-time build)
