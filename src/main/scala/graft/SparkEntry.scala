@@ -508,18 +508,24 @@ object SparkEntry {
     val bmwFrom =
       """FROM s1 JOIN s2 USING ("docId") JOIN lens USING ("docId") JOIN ids i USING ("docId")
         |CROSS JOIN stats CROSS JOIN d1 CROSS JOIN d2""".stripMargin
+    // The MinHash wh/mh/bands CTE block — ONE definition for every LSH
+    // oracle (q_minhash_pairs, q_jaccard_lsh, q_dedup_clusters/keep,
+    // q_dedup_firstwins): the hash family and band construction must
+    // never drift between them and the Spark side.
+    val lshBandsCte = (wordsSel: String) =>
+      s"""wh AS (SELECT DISTINCT doc_id, ${charHash("w")} AS wh FROM ($wordsSel)),
+         |mh AS (SELECT doc_id, seed, min(((2*seed+1)*wh + (1000003*seed+12345)) % 1000000007) AS minhash
+         |       FROM wh CROSS JOIN (SELECT unnest(range(0,12)) AS seed) GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+         |            string_agg(minhash, ',' ORDER BY seed) AS sig
+         |          FROM mh GROUP BY doc_id, seed // 3)""".stripMargin
     // Shared by q_dedup_clusters and q_dedup_keep: MinHash bands → LSH
     // clique pairs → symmetric edges → recursive-CTE reachability →
     // min-label components (the oracle computes the same components the
     // engine's star-reduced pointer-jumping CC computes).
     val dedupClustersSql = (wordsSel: String) =>
-      s"""WITH RECURSIVE wh AS (SELECT DISTINCT doc_id, ${charHash("w")} AS wh FROM ($wordsSel)),
-         |mh AS (SELECT doc_id, seed, min(((2*seed+1)*wh + (1000003*seed+12345)) % 1000000007) AS minhash
-         |       FROM wh CROSS JOIN (SELECT unnest(range(0,12)) AS seed) GROUP BY doc_id, seed),
-         |bands AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-         |            string_agg(minhash, ',' ORDER BY seed) AS sig
-         |          FROM mh GROUP BY doc_id, seed // 3),
-         |pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      s"WITH RECURSIVE ${lshBandsCte(wordsSel)},\n" +
+      """pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
          |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
          |            AND a.doc_id < b.doc_id),
          |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
@@ -598,15 +604,10 @@ object SparkEntry {
            |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2,bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
            |FROM votes GROUP BY doc_id""".stripMargin,
       "q_minhash_pairs" ->
-        s"""WITH wh AS (SELECT DISTINCT doc_id, ${charHash("w")} AS wh FROM ($words)),
-           |mh AS (SELECT doc_id, seed, min(((2*seed+1)*wh + (1000003*seed+12345)) % 1000000007) AS minhash
-           |       FROM wh CROSS JOIN (SELECT unnest(range(0,12)) AS seed) GROUP BY doc_id, seed),
-           |bands AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-           |            string_agg(minhash, ',' ORDER BY seed) AS sig
-           |          FROM mh GROUP BY doc_id, seed // 3)
-           |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-           |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-           |  AND a.doc_id < b.doc_id""".stripMargin,
+        (s"WITH ${lshBandsCte(words)}\n" +
+          """SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+             |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+             |  AND a.doc_id < b.doc_id""".stripMargin),
       "q_simhash_pairs" -> // 64-bit banded SimHash (4×16-bit Manku bands):
         // Hamming LSH on exact band words + Σ bit_count(xor) verify
         // (mirrors Dedup.simhashPairs / simhash64Bands)
@@ -629,18 +630,13 @@ object SparkEntry {
       "q_dedup_clusters" -> dedupClustersSql(words),
       "q_dedup_firstwins" -> // keep iff no lower-id doc occupies any of
         // the doc's band buckets (bucket-min comparison — no pair set)
-        s"""WITH wh AS (SELECT DISTINCT doc_id, ${charHash("w")} AS wh FROM ($words)),
-           |mh AS (SELECT doc_id, seed, min(((2*seed+1)*wh + (1000003*seed+12345)) % 1000000007) AS minhash
-           |       FROM wh CROSS JOIN (SELECT unnest(range(0,12)) AS seed) GROUP BY doc_id, seed),
-           |bands AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-           |            string_agg(minhash, ',' ORDER BY seed) AS sig
-           |          FROM mh GROUP BY doc_id, seed // 3),
-           |bmin AS (SELECT band, sig, min(doc_id) AS min_id FROM bands GROUP BY band, sig),
-           |dropped AS (SELECT b.doc_id FROM bands b
-           |            JOIN bmin m ON m.band = b.band AND m.sig = b.sig
-           |            GROUP BY b.doc_id HAVING min(m.min_id) < b.doc_id)
-           |SELECT doc_id, lang, n_chars FROM documents
-           |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+        (s"WITH ${lshBandsCte(words)},\n" +
+          """bmin AS (SELECT band, sig, min(doc_id) AS min_id FROM bands GROUP BY band, sig),
+             |dropped AS (SELECT b.doc_id FROM bands b
+             |            JOIN bmin m ON m.band = b.band AND m.sig = b.sig
+             |            GROUP BY b.doc_id HAVING min(m.min_id) < b.doc_id)
+             |SELECT doc_id, lang, n_chars FROM documents
+             |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin),
       "q_dedup_keep" -> // terminal dedup stage: documents minus
         // non-representative cluster members (min-id doc survives;
         // singletons survive by absence from the cluster table)
@@ -673,13 +669,8 @@ object SparkEntry {
            |JOIN sizes na ON na.doc_id = doc_id_a
            |JOIN sizes nb ON nb.doc_id = doc_id_a + 1""".stripMargin,
       "q_jaccard_lsh" ->
-        s"""WITH wh AS (SELECT DISTINCT doc_id, ${charHash("w")} AS wh FROM ($words)),
-           |mh AS (SELECT doc_id, seed, min(((2*seed+1)*wh + (1000003*seed+12345)) % 1000000007) AS minhash
-           |       FROM wh CROSS JOIN (SELECT unnest(range(0,12)) AS seed) GROUP BY doc_id, seed),
-           |bands AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-           |            string_agg(minhash, ',' ORDER BY seed) AS sig
-           |          FROM mh GROUP BY doc_id, seed // 3),
-           |pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        (s"WITH ${lshBandsCte(words)},\n" +
+        s"""pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
            |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
            |            AND a.doc_id < b.doc_id),
            |ws AS (SELECT DISTINCT doc_id, w FROM ($words)),
@@ -692,7 +683,7 @@ object SparkEntry {
            |        round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) AS jaccard
            |      FROM inter i JOIN sizes na ON na.doc_id = i.doc_id_a
            |                   JOIN sizes nb ON nb.doc_id = i.doc_id_b)
-           |SELECT doc_id_a, doc_id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+           |SELECT doc_id_a, doc_id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin),
       "q_chunks" -> // mirror of TextOps.chunks(budget=16, overlap=4):
         // stride 12, chunk i = toks[i*12+1 .. i*12+16] (1-based inclusive)
         """WITH t AS (SELECT doc_id,

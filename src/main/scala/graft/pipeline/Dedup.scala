@@ -376,15 +376,23 @@ object Dedup {
     * cost Σ|bucket| rows, never |bucket|²/2. Documents with no bands
     * (empty text) collide with nothing and are kept.
     */
-  def firstWinsKeep(documents: DataFrame): DataFrame = {
-    val bands = minhashBands(documents)
+  def firstWinsKeep(documents: DataFrame): DataFrame =
+    documents.join(firstWinsDropIds(minhashBands(documents)),
+      Seq("doc_id"), "left_anti")
+
+  /** The first-wins drop rule over an already-computed bands frame
+    * (doc_id, band, sig): doc_ids that share a bucket with a LOWER id.
+    * One definition for the batch op above AND the in-batch stage of
+    * graft.streaming.StreamingDedup — the stream==batch equality is a
+    * shared-code invariant, not a copy-paste one.
+    */
+  def firstWinsDropIds(bands: DataFrame): DataFrame = {
     val bucketMin = bands.groupBy("band", "sig")
       .agg(min("doc_id").as("min_id"))
-    val hasEarlier = bands.join(bucketMin, Seq("band", "sig"))
+    bands.join(bucketMin, Seq("band", "sig"))
       .groupBy("doc_id").agg(min("min_id").as("mn"))
       .filter(col("mn") < col("doc_id"))
       .select("doc_id")
-    documents.join(hasEarlier, Seq("doc_id"), "left_anti")
   }
 
   /** Word-set Jaccard similarity of consecutive doc pairs (doc_id, doc_id+1)

@@ -35,16 +35,23 @@ class StreamingDedup(spark: SparkSession, stateDir: String) {
     StructField("band", LongType),
     StructField("sig", StringType)))
 
-  private def gens(): Seq[String] = {
+  /** Generations STRICTLY BEFORE `batchId`: a crash-replayed batch must
+    * not see its own already-committed generation as "seen" (it would
+    * suppress every one of its documents and overwrite the batch's output
+    * with zero rows — silent data loss). Ids are parsed numerically;
+    * lexicographic name order would misorder gen-10 vs gen-2.
+    */
+  private def gens(batchId: Long): Seq[String] = {
     val d = new java.io.File(stateDir)
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
+        f.getName.drop(4).toLongOption.exists(_ < batchId) &&
         new java.io.File(f, "_SUCCESS").exists())
       .map(_.getAbsolutePath).toSeq.sorted
   }
 
-  private def readSeen(): DataFrame = {
-    val gs = gens()
+  private def readSeen(batchId: Long): DataFrame = {
+    val gs = gens(batchId)
     if (gs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], BucketSchema)
@@ -58,17 +65,14 @@ class StreamingDedup(spark: SparkSession, stateDir: String) {
     val bands = Dedup.minhashBands(batch)
       .select(col("doc_id"), col("band").cast("long").as("band"), col("sig"))
       .localCheckpoint() // bands feed three consumers; compute once
-    val seen = readSeen()
-    val seenHit = bands.join(seen, Seq("band", "sig"), "left_semi")
-      .select("doc_id").distinct()
-    val bucketMin = bands.groupBy("band", "sig")
-      .agg(min("doc_id").as("min_id"))
-    val inBatchHit = bands.join(bucketMin, Seq("band", "sig"))
-      .groupBy("doc_id").agg(min("min_id").as("mn"))
-      .filter(col("mn") < col("doc_id"))
+    val seenHit = bands
+      .join(readSeen(batchId), Seq("band", "sig"), "left_semi")
       .select("doc_id")
-    val kept = batch.join(seenHit.union(inBatchHit).distinct(),
-      Seq("doc_id"), "left_anti")
+    // in-batch stage = the batch twin's own drop rule — ONE definition
+    // (Dedup.firstWinsDropIds) so stream and batch can never diverge
+    val kept = batch.join(
+      seenHit.union(Dedup.firstWinsDropIds(bands)),
+      Seq("doc_id"), "left_anti") // anti-join needs no distinct right side
     // occupancy of EVERY batch doc (kept or not) becomes state — dropping
     // a doc must not un-occupy the buckets it collided into
     bands.select("band", "sig").distinct()
@@ -95,8 +99,12 @@ class StreamingDedup(spark: SparkSession, stateDir: String) {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // batch-id-deterministic output path + Overwrite = idempotent
+        // replay: a crash between this write and the checkpoint commit
+        // re-runs the batch into the SAME directory instead of
+        // double-appending (the standard foreachBatch exactly-once shape)
         dedupBatch(batch, id)
-          .write.mode(SaveMode.Append).parquet(outDir)
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch-$id")
         ()
       }
       .start()

@@ -60,14 +60,19 @@ class StreamingSpec extends AnyFunSuite {
     val chk = TestSpark.tempDir("sdedup-chk")
     val state = TestSpark.tempDir("sdedup-state")
     val sd = new graft.streaming.StreamingDedup(spark, state)
+    // batch 1 is fully committed BEFORE start: a trigger firing mid-write
+    // could otherwise split ids 0-3 across batches in non-id order and
+    // break the id-ordered-arrival precondition (2 would beat 1 into the
+    // bucket). Batch 2's docs collide only with batch-1 state, never with
+    // each other, so a mid-commit split there cannot change the result.
+    df.filter($"doc_id" < 4).write.mode("append").parquet(in)
     val q = sd.start(in, out, chk)
     try {
-      df.filter($"doc_id" < 4).write.mode("append").parquet(in)
       q.processAllAvailable() // batch 0: ids 0-3
       df.filter($"doc_id" >= 4).write.mode("append").parquet(in)
-      q.processAllAvailable() // batch 1: ids 4-6 vs persisted state
+      q.processAllAvailable() // ids 4-6 vs persisted state
     } finally q.stop()
-    val got = spark.read.parquet(out)
+    val got = spark.read.parquet(s"$out/batch-*")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == want)
   }
