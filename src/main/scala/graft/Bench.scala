@@ -145,6 +145,15 @@ object Bench {
     results += "pack_sequences" -> tPack
     val (_, tFw) = timed(Dedup.firstWinsKeep(docs).count())
     results += "dedup_firstwins" -> tFw
+    // round-5 session-4 family: corpus-trained unigram quality score and
+    // the cross-document repeated-span (exact-substring dedup) signal —
+    // span_dedup13 is the heavy one: a gram-level count-distinct shuffle
+    val (_, tUni) = timed(graft.pipeline.TextOps.unigramScore(
+      docs, vocabSize = SparkEntry.UnigramV).count())
+    results += "unigram_lm" -> tUni
+    val (_, tSpan) = timed(
+      graft.pipeline.TextOps.spanDedupStats(docs).count())
+    results += "span_dedup13" -> tSpan
     // IVF split train vs probe (round-3 VERDICT: training is an
     // index-build artifact — ivf_topk times the PRODUCTION query path
     // over persisted centroids/cells, ivf_train the one-time build)

@@ -55,6 +55,10 @@ object SparkEntry {
   val PackBudget = 64
   val PackShardSize = 32
   val VocabK = 200
+  // unigram-LM demo vocab size: the sf corpus has ~31 distinct words, so
+  // 20 leaves a real OOV tail (vocabSize ≥ vocab would make n_oov
+  // vacuously 0 and never exercise the miss path)
+  val UnigramV = 20
 
   /** Flagship: end-to-end index build + conjunctive BM25 top-k on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
@@ -149,6 +153,17 @@ object SparkEntry {
       val dd = docs(s, d)
       TextOps.decontaminate(dd, TextOps.derivedEvalSet(dd))
     }),
+    "q_unigram_lm" -> ((s, d) => // unigram-LM quality score: train a
+      // top-V ppm table from the corpus, score docs by mean in-vocab
+      // token probability (integer ppm — engine-portable, no ln())
+      TextOps.unigramScore(docs(s, d), vocabSize = UnigramV)),
+    "q_mixing" -> ((s, d) => // temperature-scaled (α = 1/2) domain-mixing
+      // weights per language — the multinomial-sampling stage; sqrt is
+      // the one IEEE-correctly-rounded power, so both engines agree
+      TextOps.mixingWeights(docs(s, d))),
+    "q_span_dedup" -> ((s, d) => // cross-document repeated 13-gram spans
+      // (exact-substring dedup signal à la suffix-array training dedup)
+      TextOps.spanDedupStats(docs(s, d))),
     "q_langid" -> ((s, d) => TextOps.langIdScore(docs(s, d))),
     "q_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
     "q_stopword_filter" -> ((s, d) => TextOps.stopwordFiltered(docs(s, d))),
@@ -753,6 +768,49 @@ object SparkEntry {
            |  CAST(count(e.g) AS BIGINT) AS n_matched,
            |  count(e.g) > 0 AS contaminated
            |FROM tg t LEFT JOIN ev e ON e.g = t.g
+           |GROUP BY t.doc_id""".stripMargin
+      },
+      "q_unigram_lm" -> // mirror of TextOps.unigramScore(vocabSize=20):
+        // top-V words by (freq desc, w asc), ppm = freq*10^6 div total
+        // occurrences, doc score = mean in-vocab ppm (OOV → 0)
+        s"""WITH wc AS (SELECT w, count(*) AS freq FROM ($words) GROUP BY w),
+           |tot AS (SELECT sum(freq) AS total FROM wc),
+           |voc AS (SELECT w, freq * 1000000 // (SELECT total FROM tot) AS ppm
+           |        FROM wc ORDER BY freq DESC, w ASC LIMIT $UnigramV)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(count(*) - count(v.ppm) AS BIGINT) AS n_oov,
+           |  round(avg(coalesce(v.ppm, 0)), 4) AS score_ppm
+           |FROM ($words) t LEFT JOIN voc v ON v.w = t.w
+           |GROUP BY doc_id""".stripMargin,
+      "q_mixing" -> // mirror of TextOps.mixingWeights: α=1/2 temperature
+        // weights, s = floor(sqrt(n)·10^6) exact-integer normalization
+        """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+          |s AS (SELECT lang, n_docs,
+          |        CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS s FROM c),
+          |t AS (SELECT sum(n_docs) AS total_docs, sum(s) AS total_s FROM s)
+          |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+          |  round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS p,
+          |  round(CAST(s AS DOUBLE) / total_s, 6) AS w
+          |FROM s CROSS JOIN t""".stripMargin,
+      "q_span_dedup" -> { // mirror of TextOps.spanDedupStats(n=13): same
+        // word-hash + gram-fold CTEs as q_decontaminate; a gram is
+        // duplicated iff it occurs in ≥ 2 distinct documents
+        val wordHash = TextOps.charHashSql("w")
+        val gramFold = "list_reduce(list_prepend(0::BIGINT, wh[i:i+12]), " +
+          "(a,h) -> (a*31+h) % 1000000007)"
+        s"""WITH wh AS (SELECT doc_id,
+           |    list_transform(list_filter(string_split(text,' '),
+           |      w -> w <> ''), w -> $wordHash) AS wh
+           |  FROM documents),
+           |tg AS (SELECT doc_id, $gramFold AS g
+           |  FROM (SELECT doc_id, wh, unnest(range(1, len(wh)-11)) AS i
+           |        FROM wh WHERE len(wh) >= 13)),
+           |dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+           |                       FROM tg GROUP BY g) WHERE nd >= 2)
+           |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |  CAST(count(d.g) AS BIGINT) AS n_dup,
+           |  round(CAST(count(d.g) AS DOUBLE) / count(*), 4) AS dup_ratio
+           |FROM tg t LEFT JOIN dup d ON d.g = t.g
            |GROUP BY t.doc_id""".stripMargin
       },
       "q_langid" ->

@@ -349,6 +349,99 @@ object TextOps {
         col("n_tokens"))
   }
 
+  /** Unigram-LM quality scoring (CCNet-style, arithmetic made
+    * engine-portable): TRAIN a unigram table from the corpus itself —
+    * the top-`vocabSize` words by corpus frequency (freq desc, word asc
+    * tiebreak — fully deterministic), each carrying its integer
+    * probability in parts-per-million `floor(freq · 10^6 / total)` where
+    * `total` counts ALL word occurrences (in- and out-of-vocab) — then
+    * SCORE each document by its mean in-vocab token probability
+    * (out-of-vocab words contribute 0). Integer ppm instead of log-prob
+    * keeps every intermediate exact (ln() is not correctly-rounded and
+    * could differ between engines at the last ulp); the mean is an exact
+    * BIGINT sum over an exact IEEE division. The vocab is
+    * vocabulary-sized (TakeOrdered — K rows at any corpus size) and
+    * explicitly broadcast, so scoring is one explode + map-side hash
+    * join + one map-side-combinable aggregate: linear in corpus size,
+    * one shuffle. Returns (doc_id, n_words, n_oov, score_ppm).
+    */
+  def unigramVocab(documents: DataFrame, vocabSize: Int): DataFrame = {
+    val wordCounts = documents
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count("*").as("freq"))
+    // grand total as a 1-row broadcast (exact BIGINT; no driver collect)
+    val total = wordCounts.agg(sum("freq").as("total"))
+    wordCounts
+      .orderBy(col("freq").desc, col("w").asc).limit(vocabSize)
+      .crossJoin(broadcast(total))
+      .select(col("w"), expr("freq * 1000000 div total").as("ppm"))
+  }
+
+  def unigramScore(documents: DataFrame, vocabSize: Int = 256): DataFrame = {
+    val vocab = unigramVocab(documents, vocabSize)
+    documents
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count("*").as("n_words"),
+        (count("*") - count(col("ppm"))).as("n_oov"),
+        round(avg(coalesce(col("ppm"), lit(0L))), 4).as("score_ppm"))
+  }
+
+  /** Temperature-scaled domain-mixing weights (the multinomial-sampling
+    * stage of multilingual/multi-source training: raising stratum
+    * probabilities to α < 1 up-weights low-resource strata). α is fixed
+    * at 1/2 because sqrt is the one power IEEE 754 requires to be
+    * CORRECTLY rounded — identical in Spark and DuckDB — where pow(x, α)
+    * carries no such guarantee. The weight arithmetic stays exact:
+    * s_d = floor(sqrt(n_d)·10^6) as BIGINT, w_d = s_d / Σs_d (exact
+    * integer sum, one exact IEEE division, round 6). Output is one row
+    * per stratum (tiny at any corpus size; the input aggregate is one
+    * map-side-combinable count). Feeds stratifiedSample as its rates.
+    */
+  def mixingWeights(documents: DataFrame,
+                    stratumCol: String = "lang"): DataFrame = {
+    val counts = documents.groupBy(stratumCol)
+      .agg(count("*").as("n_docs"))
+      .withColumn("s", floor(sqrt(col("n_docs")) * 1e6).cast("long"))
+    val tot = counts.agg(sum("n_docs").as("total_docs"),
+      sum("s").as("total_s"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n_docs"),
+        round(col("n_docs").cast("double") / col("total_docs"), 6).as("p"),
+        round(col("s").cast("double") / col("total_s"), 6).as("w"))
+  }
+
+  /** Cross-document repeated-span statistics — the signal behind exact-
+    * substring training-data dedup (suffix-array dedup à la "Deduplicating
+    * Training Data Makes Language Models Better": spans repeated across
+    * documents are memorization fuel). Per document: how many of its
+    * word-level n-gram occurrences (same n = 13 window as decontaminate)
+    * also occur in at least one OTHER document. Shape at 100 TB: one
+    * explode (corpus-linear), one gram-level count-distinct-docs
+    * aggregate (map-side partials; gram hashes distribute uniformly so
+    * no salting needed), and the dup-gram set joins back as a SHUFFLE
+    * hash join — the dup set is corpus-scale, never broadcast or
+    * collected. Docs with fewer than n words carry no grams and are
+    * absent (vacuously clean), mirroring decontaminate.
+    */
+  def spanDedupStats(documents: DataFrame, n: Int = 13,
+                     textCol: String = "text"): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), wordHashes(col(textCol)).as("wh"))
+      .select(col("doc_id"), explode(gramHashes(col("wh"), n)).as("g"))
+    val dupGrams = grams.groupBy("g")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"), lit(1).as("hit"))
+    grams.join(dupGrams, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count("*").as("n_grams"), count(col("hit")).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams"), 4)
+          .as("dup_ratio"))
+  }
+
   /** Token-budget text chunking with overlap — the training-pipeline
     * chunker (reference semantic/chunk.rs:76-99; 256-token budget with
     * overlap, config.rs:307-309) that feeds the embedding/ANN family.

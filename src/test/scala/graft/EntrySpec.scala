@@ -408,6 +408,60 @@ class EntrySpec extends AnyFunSuite {
     assert(!got.contains(4L))
   }
 
+  test("unigramScore trains a top-V ppm vocab and scores docs by mean " +
+    "in-vocab token probability with OOV → 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "a d"))
+      .toDF("doc_id", "text")
+    // freq: a=3 b=2 c=1 d=1, total 7; vocab(2) ppm: a=428571, b=285714
+    val got = graft.pipeline.TextOps.unigramScore(docs, vocabSize = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((3L, 0L, 380952.0)))
+    assert(got(2L) == ((2L, 1L, 142857.0)))
+    assert(got(3L) == ((2L, 1L, 214285.5)))
+    // the freq-1 tie resolves word-asc: k=3 admits c, never d
+    val oov3 = graft.pipeline.TextOps.unigramScore(docs, vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(oov3(2L) == 0L && oov3(3L) == 1L)
+  }
+
+  test("mixingWeights computes α=1/2 temperature weights with exact " +
+    "integer normalization") {
+    import spark.implicits._
+    val docs = (1L to 5L).map(i => (i, if (i <= 4) "en" else "de"))
+      .toDF("doc_id", "lang")
+    // s: en floor(sqrt(4)·1e6)=2000000, de 1000000; Σs=3000000
+    val got = graft.pipeline.TextOps.mixingWeights(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got("en") == ((4L, 0.8, 0.666667)))
+    assert(got("de") == ((1L, 0.2, 0.333333)))
+  }
+
+  test("spanDedupStats counts cross-document duplicated 13-gram spans; " +
+    "intra-document repeats never count") {
+    import spark.implicits._
+    val span = (1 to 13).map("s" + _).mkString(" ")
+    val docs = Seq(
+      (1L, span + " x1 x2"),    // 15 words -> 3 grams; gram@1 = the span
+      (2L, "y0 " + span),       // 14 words -> 2 grams; gram@2 = the span
+      (3L, (1 to 13).map("u" + _).mkString(" ")), // 1 unique gram
+      (4L, "short doc only"),                     // < 13 words: absent
+      // the same 13-gram twice WITHIN one doc: distinct-doc count is 1
+      (5L, ((1 to 13).map("z" + _) ++ (1 to 13).map("z" + _)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TextOps.spanDedupStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((3L, 1L, 0.3333)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((1L, 0L, 0.0)))
+    assert(!got.contains(4L))
+    assert(got(5L) == ((14L, 0L, 0.0)))
+  }
+
   test("minhashCandidates giant-bucket cap drops degenerate buckets only") {
     import spark.implicits._
     // 6 identical docs -> one clique bucket per band; 2 distinct docs
