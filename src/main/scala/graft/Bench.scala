@@ -154,6 +154,9 @@ object Bench {
     val (_, tSpan) = timed(
       graft.pipeline.TextOps.spanDedupStats(docs).count())
     results += "span_dedup13" -> tSpan
+    val (_, tSpanRm) = timed(
+      graft.pipeline.TextOps.removeDuplicateSpans(docs).count())
+    results += "span_removal" -> tSpanRm
     // IVF split train vs probe (round-3 VERDICT: training is an
     // index-build artifact — ivf_topk times the PRODUCTION query path
     // over persisted centroids/cells, ivf_train the one-time build)

@@ -164,6 +164,10 @@ object SparkEntry {
     "q_span_dedup" -> ((s, d) => // cross-document repeated 13-gram spans
       // (exact-substring dedup signal à la suffix-array training dedup)
       TextOps.spanDedupStats(docs(s, d))),
+    "q_span_removal" -> ((s, d) => // the terminal span-dedup TRANSFORM:
+      // drop every word covered by a cross-document duplicated 13-gram,
+      // keep the rest (Lee et al. policy; every doc survives)
+      TextOps.removeDuplicateSpans(docs(s, d))),
     "q_langid" -> ((s, d) => TextOps.langIdScore(docs(s, d))),
     "q_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
     "q_stopword_filter" -> ((s, d) => TextOps.stopwordFiltered(docs(s, d))),
@@ -813,6 +817,34 @@ object SparkEntry {
            |FROM tg t LEFT JOIN dup d ON d.g = t.g
            |GROUP BY t.doc_id""".stripMargin
       },
+      "q_span_removal" -> { // mirror of TextOps.removeDuplicateSpans(n=13):
+        // dup-gram start positions per doc, then an indexed list_filter —
+        // DuckDB lambda indexes are 1-based, matching the engine's
+        // (pos + 1) gram starts; a word at i is dropped iff a dup gram
+        // starts in [i-12, i]
+        val wordHash = TextOps.charHashSql("w")
+        val gramFold = "list_reduce(list_prepend(0::BIGINT, wh[i:i+12]), " +
+          "(a,h) -> (a*31+h) % 1000000007)"
+        s"""WITH d AS (SELECT doc_id, list_filter(string_split(text,' '),
+           |    w -> w <> '') AS ws FROM documents),
+           |wh AS (SELECT doc_id, ws,
+           |    list_transform(ws, w -> $wordHash) AS wh FROM d),
+           |tg AS (SELECT doc_id, i, $gramFold AS g
+           |  FROM (SELECT doc_id, wh, unnest(range(1, len(wh)-11)) AS i
+           |        FROM wh WHERE len(wh) >= 13)),
+           |dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+           |                       FROM tg GROUP BY g) WHERE nd >= 2),
+           |st AS (SELECT doc_id, list_sort(list(DISTINCT i)) AS starts
+           |       FROM tg JOIN dup USING (g) GROUP BY doc_id),
+           |k AS (SELECT w.doc_id, w.ws, coalesce(st.starts, []) AS starts
+           |      FROM wh w LEFT JOIN st USING (doc_id)),
+           |kk AS (SELECT doc_id, ws, list_filter(ws, (w, i) ->
+           |         len(list_filter(starts, s -> s <= i AND i < s + 13)) = 0
+           |       ) AS kept FROM k)
+           |SELECT doc_id,
+           |  coalesce(array_to_string(kept, ' '), '') AS cleaned,
+           |  CAST(len(ws) - len(kept) AS BIGINT) AS n_removed FROM kk""".stripMargin
+      },
       "q_langid" ->
         """SELECT doc_id, lang,
           |  round(CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
@@ -876,8 +908,11 @@ object SparkEntry {
       "q_stopword_filter" -> {
         val list = graft.tokenize.StopwordData.Words.toSeq.sorted
           .map(w => "'" + w.replace("'", "''") + "'").mkString(",")
-        s"""SELECT doc_id, array_to_string(list_filter(string_split(text,' '),
-           |  w -> w <> '' AND lower(w) NOT IN ($list)), ' ') AS cleaned
+        // coalesce: DuckDB array_to_string([]) is NULL where Spark
+        // array_join([]) is '' — an all-stopword doc must stay ''
+        s"""SELECT doc_id, coalesce(array_to_string(list_filter(
+           |  string_split(text,' '),
+           |  w -> w <> '' AND lower(w) NOT IN ($list)), ' '), '') AS cleaned
            |FROM documents""".stripMargin
       },
       // ---- engine oracles (round-2: every e_* row driver-checkable)

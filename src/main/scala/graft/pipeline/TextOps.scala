@@ -442,6 +442,44 @@ object TextOps {
           .as("dup_ratio"))
   }
 
+  /** The terminal exact-substring dedup TRANSFORM (the rewrite behind
+    * spanDedupStats's signal): remove every word covered by a 13-gram
+    * that also occurs in another document, keeping the rest of the text
+    * intact — the Lee et al. suffix-array dedup policy expressed over
+    * word-level gram windows. A word at (1-based) position `idx` is
+    * dropped iff some cross-document-duplicated gram starts at
+    * s ∈ [idx−n+1, idx]. Distributed shape: the same two corpus-linear
+    * shuffles as spanDedupStats (gram count-distinct + dup-set join)
+    * plus one per-doc start-position aggregate; the rewrite itself is a
+    * pure Column pass (indexed `filter` + `exists` over the doc's own
+    * start list — per-row work bounded by doc length × its dup sites).
+    * Every document survives (possibly emptied); docs with < n words are
+    * untouched by construction. Returns (doc_id, cleaned, n_removed).
+    */
+  def removeDuplicateSpans(documents: DataFrame, n: Int = 13,
+                           textCol: String = "text"): DataFrame = {
+    val withWh = documents
+      .select(col("doc_id"), words(col(textCol)).as("ws"))
+      .withColumn("wh", transform(col("ws"), w => charHash(w)))
+    val grams = withWh
+      .select(col("doc_id"), posexplode(gramHashes(col("wh"), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+    val dup = grams.groupBy("g")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val starts = grams.join(dup, Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("i"))).as("starts"))
+    withWh.join(starts, Seq("doc_id"), "left")
+      .withColumn("st", coalesce(col("starts"), typedLit(Seq.empty[Int])))
+      // kept materialized as its own attribute: referenced twice below,
+      // and higher-order lambdas get no common-subexpression elimination
+      .withColumn("kept", filter(col("ws"), (w, i0) =>
+        !exists(col("st"), s => s <= i0 + 1 && i0 + 1 < s + n)))
+      .select(col("doc_id"), array_join(col("kept"), " ").as("cleaned"),
+        (size(col("ws")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** Token-budget text chunking with overlap — the training-pipeline
     * chunker (reference semantic/chunk.rs:76-99; 256-token budget with
     * overlap, config.rs:307-309) that feeds the embedding/ANN family.

@@ -462,6 +462,25 @@ class EntrySpec extends AnyFunSuite {
     assert(got(5L) == ((14L, 0L, 0.0)))
   }
 
+  test("removeDuplicateSpans drops exactly the words covered by " +
+    "cross-document duplicated 13-grams; every doc survives") {
+    import spark.implicits._
+    val span = (1 to 13).map("s" + _).mkString(" ")
+    val docs = Seq(
+      (1L, span + " x1 x2"),  // dup gram @1 covers words 1-13; x1 x2 kept
+      (2L, "y0 " + span),     // dup gram @2 covers words 2-14; y0 kept
+      (3L, (1 to 13).map("u" + _).mkString(" ")), // unique gram: untouched
+      (4L, "short doc only")) // < 13 words: untouched by construction
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TextOps.removeDuplicateSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("x1 x2", 13L)))
+    assert(got(2L) == (("y0", 13L)))
+    assert(got(3L) == (((1 to 13).map("u" + _).mkString(" "), 0L)))
+    assert(got(4L) == (("short doc only", 0L)))
+    assert(got.size == 4) // no doc disappears
+  }
+
   test("minhashCandidates giant-bucket cap drops degenerate buckets only") {
     import spark.implicits._
     // 6 identical docs -> one clique bucket per band; 2 distinct docs
