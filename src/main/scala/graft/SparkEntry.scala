@@ -482,8 +482,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val words =
       "SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) WHERE w <> ''"
-    val charHash = (v: String) =>
-      s"list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split($v,'')]), (a,c) -> (a*31+c) % 1000000007)"
+    val charHash = (v: String) => TextOps.charHashSql(v)
+    // the 13-gram CTE building blocks — ONE definition across the gram
+    // oracles (q_decontaminate, q_span_dedup, q_span_removal): the word
+    // hash and the (acc·31 + h) mod P gram fold must never drift from
+    // the Spark-side wordHashes/gramHashes polynomials
+    val wordHash13 = TextOps.charHashSql("w")
+    val gramFold13 = "list_reduce(list_prepend(0::BIGINT, wh[i:i+12]), " +
+      "(a,h) -> (a*31+h) % 1000000007)"
     // docId mirror of IndexBuilder.withDocIds: the rank bucket is a
     // MONOTONE function of the docKey's first 8 hex chars, so the global
     // (bucket, docKey) order equals plain docKey hex order — one
@@ -753,17 +759,14 @@ object SparkEntry {
         // with the same (acc*31 + h) mod P polynomial; range() stop is
         // exclusive so i runs 1..len-12 — identical to Spark's
         // sequence(1, size-12)
-        val wordHash = TextOps.charHashSql("w")
-        val gramFold = "list_reduce(list_prepend(0::BIGINT, wh[i:i+12]), " +
-          "(a,h) -> (a*31+h) % 1000000007)"
         s"""WITH wh AS (SELECT doc_id,
            |    list_transform(list_filter(string_split(text,' '),
-           |      w -> w <> ''), w -> $wordHash) AS wh
+           |      w -> w <> ''), w -> $wordHash13) AS wh
            |  FROM documents),
-           |tg AS (SELECT doc_id, $gramFold AS g
+           |tg AS (SELECT doc_id, $gramFold13 AS g
            |  FROM (SELECT doc_id, wh, unnest(range(1, len(wh)-11)) AS i
            |        FROM wh WHERE len(wh) >= 13)),
-           |ev AS (SELECT DISTINCT $gramFold AS g
+           |ev AS (SELECT DISTINCT $gramFold13 AS g
            |  FROM (SELECT wh, unnest(range(1, len(wh)-11)) AS i
            |        FROM (SELECT wh[1:30] AS wh FROM wh
            |              WHERE doc_id % 20 = 0)
@@ -783,7 +786,8 @@ object SparkEntry {
            |        FROM wc ORDER BY freq DESC, w ASC LIMIT $UnigramV)
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
            |  CAST(count(*) - count(v.ppm) AS BIGINT) AS n_oov,
-           |  round(avg(coalesce(v.ppm, 0)), 4) AS score_ppm
+           |  round(CAST(sum(coalesce(v.ppm, 0)) AS DOUBLE) / count(*), 4)
+           |    AS score_ppm
            |FROM ($words) t LEFT JOIN voc v ON v.w = t.w
            |GROUP BY doc_id""".stripMargin,
       "q_mixing" -> // mirror of TextOps.mixingWeights: α=1/2 temperature
@@ -799,14 +803,11 @@ object SparkEntry {
       "q_span_dedup" -> { // mirror of TextOps.spanDedupStats(n=13): same
         // word-hash + gram-fold CTEs as q_decontaminate; a gram is
         // duplicated iff it occurs in ≥ 2 distinct documents
-        val wordHash = TextOps.charHashSql("w")
-        val gramFold = "list_reduce(list_prepend(0::BIGINT, wh[i:i+12]), " +
-          "(a,h) -> (a*31+h) % 1000000007)"
         s"""WITH wh AS (SELECT doc_id,
            |    list_transform(list_filter(string_split(text,' '),
-           |      w -> w <> ''), w -> $wordHash) AS wh
+           |      w -> w <> ''), w -> $wordHash13) AS wh
            |  FROM documents),
-           |tg AS (SELECT doc_id, $gramFold AS g
+           |tg AS (SELECT doc_id, $gramFold13 AS g
            |  FROM (SELECT doc_id, wh, unnest(range(1, len(wh)-11)) AS i
            |        FROM wh WHERE len(wh) >= 13)),
            |dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
@@ -822,14 +823,11 @@ object SparkEntry {
         // DuckDB lambda indexes are 1-based, matching the engine's
         // (pos + 1) gram starts; a word at i is dropped iff a dup gram
         // starts in [i-12, i]
-        val wordHash = TextOps.charHashSql("w")
-        val gramFold = "list_reduce(list_prepend(0::BIGINT, wh[i:i+12]), " +
-          "(a,h) -> (a*31+h) % 1000000007)"
         s"""WITH d AS (SELECT doc_id, list_filter(string_split(text,' '),
            |    w -> w <> '') AS ws FROM documents),
            |wh AS (SELECT doc_id, ws,
-           |    list_transform(ws, w -> $wordHash) AS wh FROM d),
-           |tg AS (SELECT doc_id, i, $gramFold AS g
+           |    list_transform(ws, w -> $wordHash13) AS wh FROM d),
+           |tg AS (SELECT doc_id, i, $gramFold13 AS g
            |  FROM (SELECT doc_id, wh, unnest(range(1, len(wh)-11)) AS i
            |        FROM wh WHERE len(wh) >= 13)),
            |dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd

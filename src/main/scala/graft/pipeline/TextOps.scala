@@ -358,8 +358,10 @@ object TextOps {
     * SCORE each document by its mean in-vocab token probability
     * (out-of-vocab words contribute 0). Integer ppm instead of log-prob
     * keeps every intermediate exact (ln() is not correctly-rounded and
-    * could differ between engines at the last ulp); the mean is an exact
-    * BIGINT sum over an exact IEEE division. The vocab is
+    * could differ between engines at the last ulp); the mean is an
+    * explicit sum/count — the sum stays an exact BIGINT in both engines
+    * (avg() would accumulate in double on the Spark side), the division
+    * is one exact IEEE op. The vocab is
     * vocabulary-sized (TakeOrdered — K rows at any corpus size) and
     * explicitly broadcast, so scoring is one explode + map-side hash
     * join + one map-side-combinable aggregate: linear in corpus size,
@@ -385,7 +387,8 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count("*").as("n_words"),
         (count("*") - count(col("ppm"))).as("n_oov"),
-        round(avg(coalesce(col("ppm"), lit(0L))), 4).as("score_ppm"))
+        round(sum(coalesce(col("ppm"), lit(0L))).cast("double")
+          / count("*"), 4).as("score_ppm"))
   }
 
   /** Temperature-scaled domain-mixing weights (the multinomial-sampling
@@ -425,16 +428,31 @@ object TextOps {
     * collected. Docs with fewer than n words carry no grams and are
     * absent (vacuously clean), mirroring decontaminate.
     */
-  def spanDedupStats(documents: DataFrame, n: Int = 13,
-                     textCol: String = "text"): DataFrame = {
-    val grams = documents
+  /** Word-level gram occurrences (doc_id, i, g) with the 1-based start
+    * position i, and the cross-document-duplicated gram set — ONE
+    * definition of the duplication rule (a gram is duplicated iff it
+    * occurs in ≥ 2 DISTINCT documents) shared by the signal
+    * (spanDedupStats) and the transform (removeDuplicateSpans), so the
+    * two can never drift.
+    */
+  private def gramOccurrences(documents: DataFrame, n: Int,
+                              textCol: String): DataFrame =
+    documents
       .select(col("doc_id"), wordHashes(col(textCol)).as("wh"))
-      .select(col("doc_id"), explode(gramHashes(col("wh"), n)).as("g"))
-    val dupGrams = grams.groupBy("g")
+      .select(col("doc_id"), posexplode(gramHashes(col("wh"), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+
+  private def dupGrams(grams: DataFrame): DataFrame =
+    grams.groupBy("g")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("g"), lit(1).as("hit"))
-    grams.join(dupGrams, Seq("g"), "left")
+      .select("g")
+
+  def spanDedupStats(documents: DataFrame, n: Int = 13,
+                     textCol: String = "text"): DataFrame = {
+    val grams = gramOccurrences(documents, n, textCol)
+    val dup = dupGrams(grams).withColumn("hit", lit(1))
+    grams.join(dup, Seq("g"), "left")
       .groupBy("doc_id")
       .agg(count("*").as("n_grams"), count(col("hit")).as("n_dup"))
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
@@ -451,31 +469,37 @@ object TextOps {
     * s ∈ [idx−n+1, idx]. Distributed shape: the same two corpus-linear
     * shuffles as spanDedupStats (gram count-distinct + dup-set join)
     * plus one per-doc start-position aggregate; the rewrite itself is a
-    * pure Column pass (indexed `filter` + `exists` over the doc's own
-    * start list — per-row work bounded by doc length × its dup sites).
+    * pure Column pass that stays LINEAR per row — covered positions are
+    * materialized once (Σ dup sites × n entries) and subtracted with
+    * array_except's hash-set build, O(L + S·n), instead of scanning the
+    * start list per word (that indexed-filter form is O(L·S): a 50k-word
+    * all-boilerplate doc would cost ~2.5e9 lambda steps in one task).
     * Every document survives (possibly emptied); docs with < n words are
     * untouched by construction. Returns (doc_id, cleaned, n_removed).
     */
   def removeDuplicateSpans(documents: DataFrame, n: Int = 13,
                            textCol: String = "text"): DataFrame = {
-    val withWh = documents
-      .select(col("doc_id"), words(col(textCol)).as("ws"))
-      .withColumn("wh", transform(col("ws"), w => charHash(w)))
-    val grams = withWh
-      .select(col("doc_id"), posexplode(gramHashes(col("wh"), n)))
-      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
-    val dup = grams.groupBy("g")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= 2).select("g")
-    val starts = grams.join(dup, Seq("g"), "left_semi")
+    val grams = gramOccurrences(documents, n, textCol)
+    val starts = grams.join(dupGrams(grams), Seq("g"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("i"))).as("starts"))
-    withWh.join(starts, Seq("doc_id"), "left")
+    documents
+      .select(col("doc_id"), words(col(textCol)).as("ws"))
+      .join(starts, Seq("doc_id"), "left")
       .withColumn("st", coalesce(col("starts"), typedLit(Seq.empty[Int])))
-      // kept materialized as its own attribute: referenced twice below,
-      // and higher-order lambdas get no common-subexpression elimination
-      .withColumn("kept", filter(col("ws"), (w, i0) =>
-        !exists(col("st"), s => s <= i0 + 1 && i0 + 1 < s + n)))
+      // every position any dup gram covers (gram starts never exceed
+      // L−n+1, so no clipping); distinct keeps it ≤ L entries
+      .withColumn("covered", array_distinct(flatten(
+        transform(col("st"), s => sequence(s, s + (n - 1))))))
+      // 1..L minus covered = kept indices, ascending (array_except
+      // preserves first-array order and hashes the second); guard the
+      // empty doc — sequence(1, 0) would count DOWN and fabricate [1, 0]
+      .withColumn("kept", transform(
+        array_except(
+          when(size(col("ws")) > 0, sequence(lit(1), size(col("ws"))))
+            .otherwise(typedLit(Seq.empty[Int])),
+          col("covered")),
+        i => element_at(col("ws"), i)))
       .select(col("doc_id"), array_join(col("kept"), " ").as("cleaned"),
         (size(col("ws")) - size(col("kept"))).cast("long").as("n_removed"))
   }
