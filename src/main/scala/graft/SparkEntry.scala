@@ -484,12 +484,24 @@ object SparkEntry {
       "SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) WHERE w <> ''"
     val charHash = (v: String) => TextOps.charHashSql(v)
     // the 13-gram CTE building blocks — ONE definition across the gram
-    // oracles (q_decontaminate, q_span_dedup, q_span_removal): the word
-    // hash and the (acc·31 + h) mod P gram fold must never drift from
-    // the Spark-side wordHashes/gramHashes polynomials
-    val wordHash13 = TextOps.charHashSql("w")
-    val gramFold13 = "list_reduce(list_prepend(0::BIGINT, wh[i:i+12]), " +
-      "(a,h) -> (a*31+h) % 1000000007)"
+    // oracles (q_decontaminate, q_span_dedup, q_span_removal): BOTH hash
+    // channels (word folds and the two large-prime gram folds) must never
+    // drift from the Spark-side wordHashes/wordHashes2 + gramHashes/
+    // gramHashes2 polynomials; grams match only on (g1, g2) agreement
+    val wordHash13a = TextOps.charHashSql("w")
+    val wordHash13b = TextOps.charHash2Sql("w")
+    val gramFold13a = "list_reduce(list_prepend(0::BIGINT, wh1[i:i+12]), " +
+      s"(a,h) -> (a*31+h) % ${TextOps.GramP1})"
+    val gramFold13b = "list_reduce(list_prepend(0::BIGINT, wh2[i:i+12]), " +
+      s"(a,h) -> (a*37+h) % ${TextOps.GramP2})"
+    // shared wh CTE body: both word-hash channels of the documents table
+    val whCte13 =
+      s"""(SELECT doc_id,
+         |    list_transform(list_filter(string_split(text,' '),
+         |      w -> w <> ''), w -> $wordHash13a) AS wh1,
+         |    list_transform(list_filter(string_split(text,' '),
+         |      w -> w <> ''), w -> $wordHash13b) AS wh2
+         |  FROM documents)""".stripMargin
     // docId mirror of IndexBuilder.withDocIds: the rank bucket is a
     // MONOTONE function of the docKey's first 8 hex chars, so the global
     // (bucket, docKey) order equals plain docKey hex order — one
@@ -755,26 +767,23 @@ object SparkEntry {
            |      GROUP BY doc_id)""".stripMargin,
       "q_decontaminate" -> { // mirror of TextOps.decontaminate(n=13) over
         // the derived eval set (first 30 words of every 20th doc): each
-        // word charHash'd once, gram i = fold of word hashes [i, i+13)
-        // with the same (acc*31 + h) mod P polynomial; range() stop is
-        // exclusive so i runs 1..len-12 — identical to Spark's
-        // sequence(1, size-12)
-        s"""WITH wh AS (SELECT doc_id,
-           |    list_transform(list_filter(string_split(text,' '),
-           |      w -> w <> ''), w -> $wordHash13) AS wh
-           |  FROM documents),
-           |tg AS (SELECT doc_id, $gramFold13 AS g
-           |  FROM (SELECT doc_id, wh, unnest(range(1, len(wh)-11)) AS i
-           |        FROM wh WHERE len(wh) >= 13)),
-           |ev AS (SELECT DISTINCT $gramFold13 AS g
-           |  FROM (SELECT wh, unnest(range(1, len(wh)-11)) AS i
-           |        FROM (SELECT wh[1:30] AS wh FROM wh
+        // word hashed once per channel, gram i = dual fold of word hashes
+        // [i, i+13); a gram matches the eval set iff BOTH channels agree;
+        // range() stop is exclusive so i runs 1..len-12 — identical to
+        // Spark's sequence(1, size-12)
+        s"""WITH wh AS $whCte13,
+           |tg AS (SELECT doc_id, $gramFold13a AS g1, $gramFold13b AS g2
+           |  FROM (SELECT doc_id, wh1, wh2, unnest(range(1, len(wh1)-11)) AS i
+           |        FROM wh WHERE len(wh1) >= 13)),
+           |ev AS (SELECT DISTINCT $gramFold13a AS g1, $gramFold13b AS g2
+           |  FROM (SELECT wh1, wh2, unnest(range(1, len(wh1)-11)) AS i
+           |        FROM (SELECT wh1[1:30] AS wh1, wh2[1:30] AS wh2 FROM wh
            |              WHERE doc_id % 20 = 0)
-           |        WHERE len(wh) >= 13))
+           |        WHERE len(wh1) >= 13))
            |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-           |  CAST(count(e.g) AS BIGINT) AS n_matched,
-           |  count(e.g) > 0 AS contaminated
-           |FROM tg t LEFT JOIN ev e ON e.g = t.g
+           |  CAST(count(e.g1) AS BIGINT) AS n_matched,
+           |  count(e.g1) > 0 AS contaminated
+           |FROM tg t LEFT JOIN ev e ON e.g1 = t.g1 AND e.g2 = t.g2
            |GROUP BY t.doc_id""".stripMargin
       },
       "q_unigram_lm" -> // mirror of TextOps.unigramScore(vocabSize=20):
@@ -801,21 +810,21 @@ object SparkEntry {
           |  round(CAST(s AS DOUBLE) / total_s, 6) AS w
           |FROM s CROSS JOIN t""".stripMargin,
       "q_span_dedup" -> { // mirror of TextOps.spanDedupStats(n=13): same
-        // word-hash + gram-fold CTEs as q_decontaminate; a gram is
-        // duplicated iff it occurs in ≥ 2 distinct documents
-        s"""WITH wh AS (SELECT doc_id,
-           |    list_transform(list_filter(string_split(text,' '),
-           |      w -> w <> ''), w -> $wordHash13) AS wh
-           |  FROM documents),
-           |tg AS (SELECT doc_id, $gramFold13 AS g
-           |  FROM (SELECT doc_id, wh, unnest(range(1, len(wh)-11)) AS i
-           |        FROM wh WHERE len(wh) >= 13)),
-           |dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
-           |                       FROM tg GROUP BY g) WHERE nd >= 2)
+        // dual word-hash + gram-fold CTEs as q_decontaminate; a gram is
+        // duplicated iff its (g1,g2) key occurs in ≥ 2 distinct documents
+        // (the oracle states the rule as a count-distinct; the engine's
+        // min≠max window is semantically identical)
+        s"""WITH wh AS $whCte13,
+           |tg AS (SELECT doc_id, $gramFold13a AS g1, $gramFold13b AS g2
+           |  FROM (SELECT doc_id, wh1, wh2, unnest(range(1, len(wh1)-11)) AS i
+           |        FROM wh WHERE len(wh1) >= 13)),
+           |dup AS (SELECT g1, g2 FROM (SELECT g1, g2,
+           |          count(DISTINCT doc_id) AS nd FROM tg GROUP BY g1, g2)
+           |        WHERE nd >= 2)
            |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-           |  CAST(count(d.g) AS BIGINT) AS n_dup,
-           |  round(CAST(count(d.g) AS DOUBLE) / count(*), 4) AS dup_ratio
-           |FROM tg t LEFT JOIN dup d ON d.g = t.g
+           |  CAST(count(d.g1) AS BIGINT) AS n_dup,
+           |  round(CAST(count(d.g1) AS DOUBLE) / count(*), 4) AS dup_ratio
+           |FROM tg t LEFT JOIN dup d ON d.g1 = t.g1 AND d.g2 = t.g2
            |GROUP BY t.doc_id""".stripMargin
       },
       "q_span_removal" -> { // mirror of TextOps.removeDuplicateSpans(n=13):
@@ -826,14 +835,16 @@ object SparkEntry {
         s"""WITH d AS (SELECT doc_id, list_filter(string_split(text,' '),
            |    w -> w <> '') AS ws FROM documents),
            |wh AS (SELECT doc_id, ws,
-           |    list_transform(ws, w -> $wordHash13) AS wh FROM d),
-           |tg AS (SELECT doc_id, i, $gramFold13 AS g
-           |  FROM (SELECT doc_id, wh, unnest(range(1, len(wh)-11)) AS i
-           |        FROM wh WHERE len(wh) >= 13)),
-           |dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
-           |                       FROM tg GROUP BY g) WHERE nd >= 2),
+           |    list_transform(ws, w -> $wordHash13a) AS wh1,
+           |    list_transform(ws, w -> $wordHash13b) AS wh2 FROM d),
+           |tg AS (SELECT doc_id, i, $gramFold13a AS g1, $gramFold13b AS g2
+           |  FROM (SELECT doc_id, wh1, wh2, unnest(range(1, len(wh1)-11)) AS i
+           |        FROM wh WHERE len(wh1) >= 13)),
+           |dup AS (SELECT g1, g2 FROM (SELECT g1, g2,
+           |          count(DISTINCT doc_id) AS nd FROM tg GROUP BY g1, g2)
+           |        WHERE nd >= 2),
            |st AS (SELECT doc_id, list_sort(list(DISTINCT i)) AS starts
-           |       FROM tg JOIN dup USING (g) GROUP BY doc_id),
+           |       FROM tg JOIN dup USING (g1, g2) GROUP BY doc_id),
            |k AS (SELECT w.doc_id, w.ws, coalesce(st.starts, []) AS starts
            |      FROM wh w LEFT JOIN st USING (doc_id)),
            |kk AS (SELECT doc_id, ws, list_filter(ws, (w, i) ->

@@ -35,6 +35,22 @@ object TextOps {
   def charHashSql(w: String): String =
     s"list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split($w,'')]), (a,c) -> (a*31+c) % 1000000007)"
 
+  /** Second, independent hash channel (base 131 mod the prime 998244353)
+    * for the gram family below. One ~30-bit hash is fine for APPROXIMATE
+    * signals (minhash, simhash), but the 13-gram ops FILTER and REWRITE
+    * documents on hash equality: with a single mod-1e9+7 channel, a
+    * 100 TB corpus (~10^13 grams vs ~10^6 eval grams) would expect
+    * G·E/P ≈ 10^10 false eval matches and G²/2P ≈ 10^16 false
+    * cross-document pairs — silent corpus destruction. Dual channels
+    * multiply the collision bounds (see GramP1/GramP2 below).
+    */
+  val HashP2 = 998244353L
+  def charHash2(w: Column): Column =
+    aggregate(split(w, ""), lit(0L),
+      (acc, c) => (acc * 131L + ascii(c)) % HashP2)
+  def charHash2Sql(w: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split($w,'')]), (a,c) -> (a*131+c) % $HashP2)"
+
   // ------------------------------------------------------------ operators
 
   /** GPT-2-style pre-tokenizer regex, restricted to constructs whose
@@ -194,6 +210,27 @@ object TextOps {
   def wordHashes(text: Column): Column =
     transform(words(text), w => charHash(w))
 
+  def wordHashes2(text: Column): Column =
+    transform(words(text), w => charHash2(w))
+
+  /** Gram-fold moduli: the LARGEST primes whose fold stays inside a
+    * signed 64-bit value in both engines (acc·base + h ≤ 2^63−1 with
+    * acc < P and h < the word-hash prime), so each channel carries
+    * ~58 bits. Joint collision probability per gram pair is
+    * 1/(GramP1·GramP2) ≈ 2^−115: at 10^13 grams (the 100 TB shape) the
+    * expected number of colliding pairs is ~10^−9 — safe to gate a
+    * DESTRUCTIVE transform on, where one channel's 2^−30 is not.
+    */
+  val GramP1 = 297528130188863723L // max prime: 31·P + (10^9+7) < 2^63
+  val GramP2 = 249280325293419701L // max prime: 37·P + 998244353 < 2^63
+
+  private def gramFold(wh: Column, n: Int, base: Long, mod: Long): Column =
+    when(size(wh) >= n,
+      transform(sequence(lit(1), size(wh) - (n - 1)),
+        i => aggregate(slice(wh, i, lit(n)), lit(0L),
+          (acc, h) => (acc * base + h) % mod)))
+      .otherwise(typedLit(Seq.empty[Long]))
+
   /** Gram hashes over an ALREADY-MATERIALIZED word-hash array column.
     * The word-hash array must be a real column (its own projection), not
     * an inline subexpression: higher-order lambdas evaluate their body
@@ -202,12 +239,11 @@ object TextOps {
     * measured 3× slower than even the naive string-hash version. As an
     * attribute read it is computed once per row.
     */
-  def gramHashes(wh: Column, n: Int): Column =
-    when(size(wh) >= n,
-      transform(sequence(lit(1), size(wh) - (n - 1)),
-        i => aggregate(slice(wh, i, lit(n)), lit(0L),
-          (acc, h) => (acc * 31L + h) % HashP)))
-      .otherwise(typedLit(Seq.empty[Long]))
+  def gramHashes(wh: Column, n: Int): Column = gramFold(wh, n, 31L, GramP1)
+
+  /** Channel-2 gram fold (over wordHashes2 arrays). */
+  def gramHashes2(wh2: Column, n: Int): Column =
+    gramFold(wh2, n, 37L, GramP2)
 
   /** Benchmark decontamination: per training document, the count of
     * word-level n-gram occurrences (n = 13, the GPT-3/PaLM overlap
@@ -250,17 +286,78 @@ object TextOps {
     documents.filter(col("doc_id") % 20 === 0)
       .select(array_join(slice(words(col("text")), 1, 30), " ").as("text"))
 
+  /** One gram occurrence: 1-based start position i within its document,
+    * dual-channel key (g1, g2). Grams match only when BOTH independent
+    * ~58-bit folds agree, making hash-equality safe to act on
+    * destructively (see GramP1/GramP2).
+    */
+  case class GramRow(doc_id: Long, i: Int, g1: Long, g2: Long)
+
+  /** Dual-channel gram occurrences as a typed flatMap — deliberately NOT
+    * a Column pipeline. The Column form (two word-hash transforms, two
+    * gram folds, arrays_zip, explode) is semantically identical but
+    * Catalyst inlines the nested higher-order lambdas everywhere they
+    * are referenced: CollapseProject folds the single-use zip into one
+    * expression and InferFiltersFromGenerate then pushes
+    * `size(child) > 0 AND isnotnull(child)` filters that each embed a
+    * FULL COPY of that tree — the gram computation ran up to 4× per row,
+    * interpreted (the tree exceeds codegen limits), measured 28 s where
+    * this flatMap takes well under 1 s on the same input. The per-row
+    * work is plain integer loops (no allocation beyond the word array),
+    * the output is encoder-backed and columnar downstream, and the
+    * hash values are BIT-IDENTICAL to charHash/charHash2 +
+    * gramHashes/gramHashes2 (asserted by a parity test) so the DuckDB
+    * oracle mirror is unchanged.
+    */
+  private[graft] def gramRows(documents: DataFrame, n: Int, textCol: String):
+      DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(" ", -1).filter(_.nonEmpty)
+        val len = ws.length
+        if (len < n) Iterator.empty
+        else {
+          val wh1 = new Array[Long](len)
+          val wh2 = new Array[Long](len)
+          var k = 0
+          while (k < len) {
+            var a1 = 0L; var a2 = 0L
+            // iterate code points to match Spark's split(w, "") + ascii()
+            val it = ws(k).codePoints().iterator()
+            while (it.hasNext) {
+              val c = it.next().toLong
+              a1 = (a1 * 31L + c) % HashP
+              a2 = (a2 * 131L + c) % HashP2
+            }
+            wh1(k) = a1; wh2(k) = a2; k += 1
+          }
+          (0 to len - n).iterator.map { s =>
+            var g1 = 0L; var g2 = 0L; var j = s
+            while (j < s + n) {
+              g1 = (g1 * 31L + wh1(j)) % GramP1
+              g2 = (g2 * 37L + wh2(j)) % GramP2
+              j += 1
+            }
+            GramRow(id, s + 1, g1, g2)
+          }
+        }
+      }
+      .toDF()
+  }
+
   def decontaminate(documents: DataFrame, evalDocs: DataFrame,
                     n: Int = 13, textCol: String = "text"): DataFrame = {
-    val trainGrams = documents
-      .select(col("doc_id"), wordHashes(col(textCol)).as("wh"))
-      .select(col("doc_id"), explode(gramHashes(col("wh"), n)).as("g"))
-    val evalGrams = evalDocs
-      .select(wordHashes(col(textCol)).as("wh"))
-      .select(explode(gramHashes(col("wh"), n)).as("g"))
+    val trainGrams = gramRows(documents, n, textCol)
+    val evalGrams = gramRows(
+      evalDocs.select(lit(0L).as("doc_id"), col(textCol)), n, textCol)
+      .select("g1", "g2")
       .distinct()
       .withColumn("hit", lit(1))
-    trainGrams.join(broadcast(evalGrams), Seq("g"), "left")
+    trainGrams.join(broadcast(evalGrams), Seq("g1", "g2"), "left")
       .groupBy("doc_id")
       .agg(count("*").as("n_grams"), count(col("hit")).as("n_matched"))
       .select(col("doc_id"), col("n_grams"), col("n_matched"),
@@ -421,44 +518,43 @@ object TextOps {
     * documents are memorization fuel). Per document: how many of its
     * word-level n-gram occurrences (same n = 13 window as decontaminate)
     * also occur in at least one OTHER document. Shape at 100 TB: one
-    * explode (corpus-linear), one gram-level count-distinct-docs
-    * aggregate (map-side partials; gram hashes distribute uniformly so
-    * no salting needed), and the dup-gram set joins back as a SHUFFLE
-    * hash join — the dup set is corpus-scale, never broadcast or
-    * collected. Docs with fewer than n words carry no grams and are
-    * absent (vacuously clean), mirroring decontaminate.
+    * explode (corpus-linear), one exchange on the dual gram key (hashes
+    * distribute uniformly so no salting needed) where a window computes
+    * the min≠max-doc duplication flag in place — the dup set is
+    * corpus-scale and is never broadcast, collected, or re-joined — then
+    * one per-doc aggregate. Docs with fewer than n words carry no grams
+    * and are absent (vacuously clean), mirroring decontaminate.
     */
-  /** Word-level gram occurrences (doc_id, i, g) with the 1-based start
-    * position i, and the cross-document-duplicated gram set — ONE
-    * definition of the duplication rule (a gram is duplicated iff it
-    * occurs in ≥ 2 DISTINCT documents) shared by the signal
-    * (spanDedupStats) and the transform (removeDuplicateSpans), so the
-    * two can never drift.
+  /** Word-level gram occurrences (doc_id, i, g1, g2) with the 1-based
+    * start position i, each carrying the dual gram key, flagged with the
+    * ONE definition of the duplication rule shared by the signal
+    * (spanDedupStats) and the transform (removeDuplicateSpans): a gram is
+    * duplicated iff it occurs in ≥ 2 DISTINCT documents, detected as
+    * min(doc_id) ≠ max(doc_id) over a window partitioned by the gram key.
+    * The window shape means ONE corpus scan and ONE exchange (on the gram
+    * key) — the previous self-join against a count-distinct aggregate ran
+    * the tokenize+hash scan twice because the two subtrees exchanged on
+    * different keys and ReuseExchange could not dedupe them. Skew note: a
+    * gram shared by many documents (license boilerplate) lands all its
+    * occurrences in one window partition — exactly the rows the old join
+    * colocated on g anyway; WindowExec spills via its external sorter.
     */
-  private def gramOccurrences(documents: DataFrame, n: Int,
-                              textCol: String): DataFrame =
-    documents
-      .select(col("doc_id"), wordHashes(col(textCol)).as("wh"))
-      .select(col("doc_id"), posexplode(gramHashes(col("wh"), n)))
-      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
-
-  private def dupGrams(grams: DataFrame): DataFrame =
-    grams.groupBy("g")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= 2)
-      .select("g")
+  private def dupFlaggedGrams(documents: DataFrame, n: Int,
+                              textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g1", "g2")
+    gramRows(documents, n, textCol)
+      .withColumn("dup", min("doc_id").over(w) =!= max("doc_id").over(w))
+  }
 
   def spanDedupStats(documents: DataFrame, n: Int = 13,
-                     textCol: String = "text"): DataFrame = {
-    val grams = gramOccurrences(documents, n, textCol)
-    val dup = dupGrams(grams).withColumn("hit", lit(1))
-    grams.join(dup, Seq("g"), "left")
+                     textCol: String = "text"): DataFrame =
+    dupFlaggedGrams(documents, n, textCol)
       .groupBy("doc_id")
-      .agg(count("*").as("n_grams"), count(col("hit")).as("n_dup"))
+      .agg(count("*").as("n_grams"),
+        count(when(col("dup"), lit(1))).as("n_dup"))
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         round(col("n_dup").cast("double") / col("n_grams"), 4)
           .as("dup_ratio"))
-  }
 
   /** The terminal exact-substring dedup TRANSFORM (the rewrite behind
     * spanDedupStats's signal): remove every word covered by a 13-gram
@@ -466,9 +562,9 @@ object TextOps {
     * intact — the Lee et al. suffix-array dedup policy expressed over
     * word-level gram windows. A word at (1-based) position `idx` is
     * dropped iff some cross-document-duplicated gram starts at
-    * s ∈ [idx−n+1, idx]. Distributed shape: the same two corpus-linear
-    * shuffles as spanDedupStats (gram count-distinct + dup-set join)
-    * plus one per-doc start-position aggregate; the rewrite itself is a
+    * s ∈ [idx−n+1, idx]. Distributed shape: the same single-scan
+    * window-flagged gram pass as spanDedupStats plus one per-doc
+    * start-position aggregate; the rewrite itself is a
     * pure Column pass that stays LINEAR per row — covered positions are
     * materialized once (Σ dup sites × n entries) and subtracted with
     * array_except's hash-set build, O(L + S·n), instead of scanning the
@@ -479,8 +575,8 @@ object TextOps {
     */
   def removeDuplicateSpans(documents: DataFrame, n: Int = 13,
                            textCol: String = "text"): DataFrame = {
-    val grams = gramOccurrences(documents, n, textCol)
-    val starts = grams.join(dupGrams(grams), Seq("g"), "left_semi")
+    val starts = dupFlaggedGrams(documents, n, textCol)
+      .filter(col("dup"))
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("i"))).as("starts"))
     documents

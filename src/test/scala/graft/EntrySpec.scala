@@ -481,6 +481,38 @@ class EntrySpec extends AnyFunSuite {
     assert(got.size == 4) // no doc disappears
   }
 
+  test("gramRows (typed flatMap) is bit-identical to the Column-expression " +
+    "spec: charHash/charHash2 word folds + gramHashes/gramHashes2 — the " +
+    "DuckDB oracle mirrors the Column spec, so this identity is what keeps " +
+    "the fast path oracle-gated") {
+    import org.apache.spark.sql.functions.{arrays_zip, col, posexplode}
+    import spark.implicits._
+    val T = graft.pipeline.TextOps
+    val n = 5
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again ok"),
+      (2L, (1 to 40).map(i => "w" + (i % 7)).mkString(" ")),
+      (3L, "exactly five words here now"),   // len == n: one gram
+      (4L, "short one"),                     // len < n: no grams
+      (5L, ""),                              // empty: no grams
+      (6L, "  double  spaced   words kept intact here ")) // empty tokens dropped
+      .toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))
+    val spec = docs
+      .select(col("doc_id"), T.wordHashes(col("text")).as("wh1"),
+        T.wordHashes2(col("text")).as("wh2"))
+      .select(col("doc_id"), T.gramHashes(col("wh1"), n).as("ga"),
+        T.gramHashes2(col("wh2"), n).as("gb"))
+      .select(col("doc_id"), posexplode(arrays_zip(col("ga"), col("gb"))))
+      .select(col("doc_id"), (col("pos") + 1).as("i"),
+        col("col.ga"), col("col.gb"))
+      .collect().map(key).sorted.toSeq
+    val fast = T.gramRows(docs, n, "text")
+      .collect().map(key).sorted.toSeq
+    assert(fast.nonEmpty && fast == spec)
+  }
+
   test("minhashCandidates giant-bucket cap drops degenerate buckets only") {
     import spark.implicits._
     // 6 identical docs -> one clique bucket per band; 2 distinct docs
