@@ -160,6 +160,11 @@ object Bench {
       docs, vocabSize = SparkEntry.UnigramV)
       .agg(sum("n_oov"), sum("score_ppm")).collect())
     results += "unigram_lm" -> tUni
+    val (_, tDsir) = timed(graft.pipeline.TextOps.importanceWeights(
+      docs, graft.pipeline.TextOps.derivedTargetSet(docs),
+      vocabSize = SparkEntry.UnigramV)
+      .agg(sum("dsir_score")).collect())
+    results += "dsir_weights" -> tDsir
     val (_, tSpan) = timed(graft.pipeline.TextOps.spanDedupStats(docs)
       .agg(sum("n_dup"), sum("n_grams")).collect())
     results += "span_dedup13" -> tSpan

@@ -161,6 +161,20 @@ object SparkEntry {
       // weights per language — the multinomial-sampling stage; sqrt is
       // the one IEEE-correctly-rounded power, so both engines agree
       TextOps.mixingWeights(docs(s, d))),
+    "q_quality_buckets" -> ((s, d) => // CCNet head/middle/tail tiers:
+      // sharded ntile over the unigram-LM score (score desc, doc_id asc
+      // — deterministic; shard-bounded window, never a global order)
+      TextOps.qualityBuckets(docs(s, d), nBuckets = 3,
+        shardSize = PackShardSize, vocabSize = UnigramV)),
+    "q_dsir" -> ((s, d) => { // DSIR importance weights: mean per-word ppm
+      // gap between a target-domain unigram table (every 7th doc — the
+      // deterministic stand-in, like q_decontaminate's eval set) and the
+      // corpus table; integer ppm difference instead of log-ratio keeps
+      // both engines exact
+      val dd = docs(s, d)
+      TextOps.importanceWeights(dd, TextOps.derivedTargetSet(dd),
+        vocabSize = UnigramV)
+    }),
     "q_span_dedup" -> ((s, d) => // cross-document repeated 13-gram spans
       // (exact-substring dedup signal à la suffix-array training dedup)
       TextOps.spanDedupStats(docs(s, d))),
@@ -798,6 +812,40 @@ object SparkEntry {
            |  round(CAST(sum(coalesce(v.ppm, 0)) AS DOUBLE) / count(*), 4)
            |    AS score_ppm
            |FROM ($words) t LEFT JOIN voc v ON v.w = t.w
+           |GROUP BY doc_id""".stripMargin,
+      "q_quality_buckets" -> // mirror of TextOps.qualityBuckets: the
+        // q_unigram_lm score CTE + sharded ntile (score desc, doc_id asc)
+        s"""WITH wc AS (SELECT w, count(*) AS freq FROM ($words) GROUP BY w),
+           |voc AS (SELECT w, freq * 1000000 //
+           |          (SELECT sum(freq) FROM wc) AS ppm
+           |        FROM wc ORDER BY freq DESC, w ASC LIMIT $UnigramV),
+           |sc AS (SELECT doc_id,
+           |  round(CAST(sum(coalesce(v.ppm, 0)) AS DOUBLE) / count(*), 4)
+           |    AS score_ppm
+           |  FROM ($words) t LEFT JOIN voc v ON v.w = t.w
+           |  GROUP BY doc_id)
+           |SELECT doc_id, doc_id // $PackShardSize AS shard, score_ppm,
+           |  ntile(3) OVER (PARTITION BY doc_id // $PackShardSize
+           |    ORDER BY score_ppm DESC, doc_id ASC) AS bucket
+           |FROM sc""".stripMargin,
+      "q_dsir" -> // mirror of TextOps.importanceWeights over the derived
+        // target set (doc_id % 7 = 0): two top-V ppm tables (same freq
+        // desc / word asc tiebreak and integer div as q_unigram_lm),
+        // score = mean (target ppm − corpus ppm) with OOV → 0
+        s"""WITH wc AS (SELECT w, count(*) AS freq FROM ($words) GROUP BY w),
+           |voc_c AS (SELECT w, freq * 1000000 //
+           |            (SELECT sum(freq) FROM wc) AS ppm
+           |          FROM wc ORDER BY freq DESC, w ASC LIMIT $UnigramV),
+           |tw AS (SELECT doc_id, w FROM ($words) WHERE doc_id % 7 = 0),
+           |twc AS (SELECT w, count(*) AS freq FROM tw GROUP BY w),
+           |voc_t AS (SELECT w, freq * 1000000 //
+           |            (SELECT sum(freq) FROM twc) AS ppm
+           |          FROM twc ORDER BY freq DESC, w ASC LIMIT $UnigramV)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  round(CAST(sum(coalesce(t.ppm, 0) - coalesce(c.ppm, 0))
+           |    AS DOUBLE) / count(*), 4) AS dsir_score
+           |FROM ($words) d LEFT JOIN voc_t t ON t.w = d.w
+           |  LEFT JOIN voc_c c ON c.w = d.w
            |GROUP BY doc_id""".stripMargin,
       "q_mixing" -> // mirror of TextOps.mixingWeights: α=1/2 temperature
         // weights, s = floor(sqrt(n)·10^6) exact-integer normalization

@@ -488,6 +488,70 @@ object TextOps {
           / count("*"), 4).as("score_ppm"))
   }
 
+  /** CCNet-style quality bucketing: split the corpus into nBuckets
+    * quality tiers (head/middle/tail at the default 3) by unigram-LM
+    * score. CCNet buckets by perplexity percentile over each language
+    * shard; a GLOBAL percentile would be one totally-ordered window
+    * (single reducer — the scale killer sequence packing also avoids),
+    * so bucketing is SHARDED the same way packSequences is: ntile within
+    * shards of `shardSize` consecutive doc_ids — each window partition
+    * is bounded, the shuffle is one hash exchange, and the assignment is
+    * fully deterministic (score desc, doc_id asc tiebreak; bucket 1 =
+    * head). Returns (doc_id, shard, score_ppm, bucket).
+    */
+  def qualityBuckets(documents: DataFrame, nBuckets: Int = 3,
+                     shardSize: Int = 128,
+                     vocabSize: Int = 256): DataFrame = {
+    require(nBuckets > 0 && shardSize > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard")
+      .orderBy(col("score_ppm").desc, col("doc_id").asc)
+    unigramScore(documents, vocabSize)
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("score_ppm"), col("bucket"))
+  }
+
+  /** Deterministic target-domain stand-in for importanceWeights (the
+    * high-quality reference corpus DSIR scores against): every 7th doc.
+    * Like derivedEvalSet, one definition so the engine, the oracle, and
+    * the bench can never drift — and no external data is needed.
+    */
+  def derivedTargetSet(documents: DataFrame): DataFrame =
+    documents.filter(col("doc_id") % 7 === 0)
+
+  /** Data selection via importance resampling (DSIR, Xie et al. 2023),
+    * arithmetic made engine-portable: train a top-V unigram ppm table on
+    * the TARGET domain and one on the raw corpus, then weight each doc by
+    * the mean per-word probability GAP Σ(ppm_target − ppm_corpus)/n —
+    * docs whose vocabulary looks like the target score high, generic/
+    * boilerplate-heavy docs score ≤ 0. The true DSIR uses log-ratios of
+    * hashed-bigram LMs; the integer ppm DIFFERENCE keeps every
+    * intermediate exact across engines (ln() is not correctly rounded)
+    * while preserving the selection ordering signal. Shape at 100 TB:
+    * both vocab tables are TakeOrdered(V) broadcasts, scoring is one
+    * explode + two map-side hash joins + one combinable aggregate —
+    * linear, one shuffle. Returns (doc_id, n_words, dsir_score).
+    */
+  def importanceWeights(documents: DataFrame, targetDocs: DataFrame,
+                        vocabSize: Int = 256): DataFrame = {
+    val tv = unigramVocab(targetDocs, vocabSize)
+      .withColumnRenamed("ppm", "ppm_t")
+    val cv = unigramVocab(documents, vocabSize)
+      .withColumnRenamed("ppm", "ppm_c")
+    documents
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .join(broadcast(tv), Seq("w"), "left")
+      .join(broadcast(cv), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count("*").as("n_words"),
+        sum(coalesce(col("ppm_t"), lit(0L))
+          - coalesce(col("ppm_c"), lit(0L))).as("sum_diff"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("sum_diff").cast("double") / col("n_words"), 4)
+          .as("dsir_score"))
+  }
+
   /** Temperature-scaled domain-mixing weights (the multinomial-sampling
     * stage of multilingual/multi-source training: raising stratum
     * probabilities to α < 1 up-weights low-resource strata). α is fixed

@@ -427,6 +427,22 @@ class EntrySpec extends AnyFunSuite {
     assert(oov3(2L) == 0L && oov3(3L) == 1L)
   }
 
+  test("importanceWeights scores docs by the mean target-vs-corpus ppm " +
+    "gap with OOV contributing zero") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "a d"))
+      .toDF("doc_id", "text")
+    val target = Seq((0L, "a b")).toDF("doc_id", "text")
+    // target ppm (V=2): a=500000, b=500000 (freq 1/2 each)
+    // corpus ppm (V=2): a=3/7→428571, b=2/7→285714; c,d OOV in both
+    val got = graft.pipeline.TextOps.importanceWeights(docs, target, 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((3L, 119048.0)))  // (71429*2 + 214286) / 3
+    assert(got(2L) == ((2L, 107143.0)))  // 214286 / 2
+    assert(got(3L) == ((2L, 35714.5)))   // 71429 / 2
+  }
+
   test("mixingWeights computes α=1/2 temperature weights with exact " +
     "integer normalization") {
     import spark.implicits._
