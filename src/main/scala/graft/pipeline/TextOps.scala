@@ -315,6 +315,10 @@ object TextOps {
     import spark.implicits._
     documents
       .select(col("doc_id").cast("long"), col(textCol).cast("string"))
+      // NULL text/doc_id rows carry no grams (the Column spec's explode
+      // dropped them); without this filter the typed lambda would NPE
+      // and one bad row would abort the whole corpus pass
+      .where(col("doc_id").isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val ws = text.split(" ", -1).filter(_.nonEmpty)

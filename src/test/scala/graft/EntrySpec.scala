@@ -511,7 +511,8 @@ class EntrySpec extends AnyFunSuite {
       (3L, "exactly five words here now"),   // len == n: one gram
       (4L, "short one"),                     // len < n: no grams
       (5L, ""),                              // empty: no grams
-      (6L, "  double  spaced   words kept intact here ")) // empty tokens dropped
+      (6L, "  double  spaced   words kept intact here "), // empty tokens dropped
+      (7L, null))                            // NULL text: no grams, no NPE
       .toDF("doc_id", "text")
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))
