@@ -81,6 +81,26 @@ object CorpusGen {
     md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** Metadata fields of a row WITHOUT generating its content: replays
+    * exactly the rng draws genRow makes before content (lang, path token)
+    * so the two faces can never diverge. The docId-rank bucket-count job
+    * only needs (repo, path, commit) — generating content for it was a
+    * full second generation pass per build (r6, guide §2.3 "project
+    * before the exchange": a typed map is opaque to column pruning, so
+    * content is now a separately prunable column).
+    */
+  def genMeta(seed: Long, nRepos: Int, filesPerRepo: Int, idx: Long)
+      : (Long, String, String, String, String) = {
+    val repoIdx = (idx / filesPerRepo).toInt
+    val fileIdx = (idx % filesPerRepo).toInt
+    val rng = new java.util.Random(seed * 0x9e3779b97f4a7c15L + idx * 0xc2b2ae3d27d4eb4fL + 1)
+    val repo = s"github.com/org${repoIdx % 97}/repo$repoIdx"
+    val lang = Langs(rng.nextInt(Langs.length))
+    val path = s"src/mod${fileIdx % 13}/f${fileIdx}_${sampleToken(rng)}.${Exts(lang)}"
+    val commit = sha256Hex(s"commit:$seed:$repo").take(40)
+    (idx, repo, path, commit, lang)
+  }
+
   /** Pure row generator: global file index → corpus row fields. */
   def genRow(seed: Long, nRepos: Int, filesPerRepo: Int, idx: Long)
       : (String, String, String, String, String) = {
@@ -113,7 +133,12 @@ object CorpusGen {
   }
 
   /** Distributed corpus table. Deterministic for fixed (nRepos,
-    * filesPerRepo, seed) at any parallelism.
+    * filesPerRepo, seed) at any parallelism. Metadata comes from the
+    * cheap typed map; content (and its sha) is a DETERMINISTIC
+    * per-row-generated column that Catalyst PRUNES when a consumer only
+    * reads metadata — the builder's bucket-count job was paying a full
+    * content-generation pass it never read (byte-identical: the content
+    * expression replays genRow on the same index).
     */
   def synth(spark: SparkSession, nRepos: Int, filesPerRepo: Int,
             seed: Long = 42L, partitions: Int = 0): DataFrame = {
@@ -121,11 +146,15 @@ object CorpusGen {
     val total = nRepos.toLong * filesPerRepo
     val parts = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
+    val contentOf = udf((idx: Long) =>
+      CorpusGen.genRow(seed, nRepos, filesPerRepo, idx)._5)
     spark.range(0, total, 1, parts)
       .map { idx =>
-        CorpusGen.genRow(seed, nRepos, filesPerRepo, idx)
+        CorpusGen.genMeta(seed, nRepos, filesPerRepo, idx)
       }
-      .toDF("repo", "path", "commit", "lang", "content")
+      .toDF("idx", "repo", "path", "commit", "lang")
+      .withColumn("content", contentOf($"idx"))
       .withColumn("contentSha", sha2($"content", 256))
+      .select("repo", "path", "commit", "lang", "content", "contentSha")
   }
 }

@@ -199,15 +199,28 @@ class QueryExecutor(searcher: Searcher) {
       .join(searcher.docs.select($"docId", $"lang", $"repo"), "docId")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val topk = hits.select($"docId", $"score")
-        .orderBy($"score".desc, $"docId".asc).limit(k).as[Hit]
-        .collect().toSeq
+      // materialize the cached candidate pass once, then harvest the four
+      // collectors CONCURRENTLY (guide §2.6: actions are sequential only
+      // because the driver calls them sequentially — the page, the count
+      // and both histograms are independent reads of the same cached
+      // frame, so overlapping them removes three job latencies from the
+      // page's critical path). hits.count() doubles as the materializing
+      // action AND the total.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       val total = hits.count()
       def harvest(df: DataFrame): Seq[(String, Long)] =
         df.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-      PageMeta(topk, total,
-        harvest(pageHistogram(hits, "lang", statsTopN)),
-        harvest(pageHistogram(hits, "repo", statsTopN)))
+      val fTopk = Future {
+        hits.select($"docId", $"score")
+          .orderBy($"score".desc, $"docId".asc).limit(k).as[Hit]
+          .collect().toSeq
+      }
+      val fLang = Future { harvest(pageHistogram(hits, "lang", statsTopN)) }
+      val fRepo = Future { harvest(pageHistogram(hits, "repo", statsTopN)) }
+      PageMeta(Await.result(fTopk, Duration.Inf), total,
+        Await.result(fLang, Duration.Inf), Await.result(fRepo, Duration.Inf))
     } finally hits.unpersist()
   }
 

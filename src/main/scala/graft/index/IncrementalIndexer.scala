@@ -591,7 +591,13 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
         .write.parquet(s"$mergedPath/postings")
     }
     mergeStage("dict") {
-      spark.read.parquet(s"$mergedPath/postings")
+      // per-term stats are sums/maxes over generation runs, and each
+      // generation's dict already holds its own sums — aggregating the
+      // gens' DICTS is value-identical to re-aggregating the merged
+      // postings, without re-reading the postings parquet the previous
+      // stage just wrote (r6, guide §1.2 step 1: one fewer
+      // data-proportional pass)
+      spark.read.parquet(gens.map(g => s"$g/dict"): _*)
         .groupBy($"term")
         .agg(sum($"df").as("df"), sum($"cf").as("cf"),
           max($"maxTfNorm").as("maxTfNorm"))

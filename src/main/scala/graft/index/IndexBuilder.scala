@@ -268,8 +268,13 @@ class IndexBuilder(
       try s2.conf.set(k, v) catch { case _: Throwable => () }
     }
     s2.conf.set("spark.sql.files.maxPartitionBytes", splitTarget.toString)
+    // openCost well BELOW the split target: at openCost ≈ target every
+    // file's phantom cost halves the effective split budget and the stage
+    // ran ~2× P tiny tasks (r6 measured 237 tasks for P = 128 — guide
+    // §6 input-split sizing); an eighth keeps tiny-file storms bounded
+    // while real splits land at the target
     s2.conf.set("spark.sql.files.openCostInBytes",
-      math.min(splitTarget, 1L << 20).toString)
+      math.max(4096L, math.min(splitTarget / 8, 1L << 20)).toString)
     buildPostingsPhases(s2)
   }
 

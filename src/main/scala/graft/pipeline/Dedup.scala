@@ -44,14 +44,36 @@ object Dedup {
     * band signature = comma-joined minhashes in seed order. Docs sharing a
     * (band, sig) bucket are near-dup candidates — the bucket-join replaces
     * the quadratic all-pairs compare at scale.
+    *
+    * Shape (r6 optimization, guide §2.3 "aggregate before you shuffle" /
+    * §2.4 "remove shuffles outright"): ONE hash aggregate computes all
+    * NumHashes minima as separate aggregate columns over the exploded
+    * word-hash rows — the old shape crossJoined every (doc, word) row
+    * with the 12-seed table (×12 row explosion through the first
+    * shuffle) and then paid a SECOND shuffle (collect_list groupBy) to
+    * assemble band signatures. Band rows now derive from the per-doc
+    * aggregate by a narrow 4-way explode: 2 Exchanges → 1, shuffle rows
+    * ÷12. Values are bit-identical (min over the same multiset, same
+    * seed-ordered comma join).
     */
-  def minhashBands(documents: DataFrame): DataFrame =
-    minhash(documents)
-      .withColumn("band", (col("seed") / (NumHashes / Bands)).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
-          s => s.getField("minhash").cast("string"))).as("sig"))
+  def minhashBands(documents: DataFrame): DataFrame = {
+    val wh = documents
+      .select(col("doc_id"),
+        explode(array_distinct(words(col("text")))).as("w"))
+      .withColumn("wh", charHash(col("w")))
+    val minCols = (0 until NumHashes).map(i =>
+      min((lit(seedA(i)) * col("wh") + lit(seedB(i))) % HashP).as(s"m$i"))
+    val r = NumHashes / Bands
+    val bandStructs = array((0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",",
+          (0 until r).map(j => col(s"m${b * r + j}").cast("string")): _*)
+          .as("sig"))
+    }: _*)
+    wh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
 
   /** Candidate near-dup pairs from shared LSH buckets (doc_id_a < doc_id_b).
     *
@@ -80,7 +102,12 @@ object Dedup {
 
   def minhashCandidates(documents: DataFrame,
                         maxBucket: Option[Int] = None): DataFrame = {
-    val b = capBuckets(minhashBands(documents), Seq("band", "sig"), maxBucket)
+    // bands feed both sides of the bucket self-join (and the cap
+    // aggregate): materialize once instead of re-running the minhash
+    // aggregation per subtree (guide §2.4 — the exchanges differ by
+    // projection, so ReuseExchange never fired)
+    val b = capBuckets(minhashBands(documents).localCheckpoint(),
+      Seq("band", "sig"), maxBucket)
     val l = b.select(col("band"), col("sig"), col("doc_id").as("doc_id_a"))
     val r = b.select(col("band"), col("sig"), col("doc_id").as("doc_id_b"))
     l.join(r, Seq("band", "sig"))
@@ -96,7 +123,9 @@ object Dedup {
     * is exactly what explodes on skewed buckets at 100 TB).
     */
   def minhashStarEdges(documents: DataFrame): DataFrame = {
-    val b = minhashBands(documents)
+    // bands feed the bucket-min aggregate AND the join probe side:
+    // materialize once (same rationale as minhashCandidates)
+    val b = minhashBands(documents).localCheckpoint()
     val m = b.groupBy("band", "sig").agg(min("doc_id").as("doc_id_a"))
     b.join(m, Seq("band", "sig"))
       .filter(col("doc_id") =!= col("doc_id_a"))
@@ -139,6 +168,10 @@ object Dedup {
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("old"),
           least(col("old"), coalesce(col("nbr"), col("old"))).as("cluster_id"))
+        // both sides of the pointer-jump self-join read `hop` — without a
+        // materialization the edge-join + min aggregate above ran TWICE
+        // per round (r6, guide §2.4)
+        .localCheckpoint()
       // pointer jump (path halving): follow the label's own label —
       // turns O(diameter) convergence into O(log diameter)
       val next = hop
@@ -231,14 +264,28 @@ object Dedup {
     * true similarity, not a probabilistic proxy. Output
     * (doc_id_a, doc_id_b, jaccard≥threshold), jaccard rounded to 4 dp.
     */
-  def jaccardVerifiedPairs(documents: DataFrame, threshold: Double = 0.5,
-                           maxBucket: Option[Int] = None): DataFrame = {
-    val cand = minhashCandidates(documents, maxBucket)
+  /** Distinct word sets of only the docs that appear in a candidate pair
+    * — the semi-join prune that keeps exact-Jaccard verification off
+    * non-candidate docs. Exposed for PlanSpec (the production path
+    * materializes it once, which hides the LeftSemi from the final plan).
+    */
+  private[graft] def candidateWordSets(documents: DataFrame,
+                                       cand: DataFrame): DataFrame = {
     val w = documents.select(col("doc_id"),
       explode(array_distinct(words(col("text")))).as("w"))
     val candDocs = cand.select(col("doc_id_a").as("doc_id"))
       .union(cand.select(col("doc_id_b").as("doc_id"))).distinct()
-    val wc = w.join(candDocs, Seq("doc_id"), "left_semi")
+    w.join(candDocs, Seq("doc_id"), "left_semi")
+  }
+
+  def jaccardVerifiedPairs(documents: DataFrame, threshold: Double = 0.5,
+                           maxBucket: Option[Int] = None): DataFrame = {
+    // cand feeds three subtrees (both sides of the doc union + the
+    // intersect join) and wc two (sizes + the pair join) — materialize
+    // each once; the round-5 plan re-derived the whole minhash pipeline
+    // per subtree (168 Exchange nodes in the sf0.01 plan dump)
+    val cand = minhashCandidates(documents, maxBucket).localCheckpoint()
+    val wc = candidateWordSets(documents, cand).localCheckpoint()
     val sizes = wc.groupBy("doc_id").agg(count("*").as("n"))
     val inter = cand
       .join(wc.select(col("doc_id").as("doc_id_a"), col("w")), "doc_id_a")
@@ -258,24 +305,27 @@ object Dedup {
 
   /** 16-bit SimHash over word frequencies: bit b of charHash(w) votes
     * +tf/−tf; simhash bit b = 1 iff the vote sum is positive.
+    *
+    * Shape (r6, guide §2.3): all 16 per-bit vote sums are aggregate
+    * COLUMNS of one per-doc hash aggregate over the (doc, word, tf) rows
+    * — the old shape crossJoined every row with a 16-bit table (×16 rows
+    * through the shuffle) and needed a second per-doc shuffle. Integer
+    * vote sums are order-free, so values are bit-identical; 3 Exchanges
+    * → 2 and shuffle rows ÷16.
     */
   def simhash(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val bits = (0 until 16).toDF("bit")
-    documents
+    val tf = documents
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count("*").as("tf"))
       .withColumn("wh", charHash(col("w")))
-      .crossJoin(broadcast(bits))
-      // bit extract via exact integer arithmetic (pow is exact ≤ 2^15)
-      .withColumn("vote",
-        col("tf") * (expr("(wh DIV CAST(pow(2, bit) AS BIGINT)) % 2") * 2 - 1))
-      .groupBy("doc_id", "bit")
-      .agg(sum("vote").as("v"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, expr("CAST(pow(2, bit) AS BIGINT)"))
-        .otherwise(0L)).as("simhash"))
+    val voteCols = (0 until 16).map(b =>
+      sum(col("tf") *
+        (expr(s"(wh DIV ${1L << b}L) % 2") * 2 - 1)).as(s"v$b"))
+    tf.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** 64-bit SimHash fingerprint, represented as FOUR 16-bit band words
@@ -288,23 +338,31 @@ object Dedup {
     * exactly the form the Hamming-LSH banding consumes.
     */
   def simhash64Bands(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val bits = (0 until 64).toDF("bit")
-    documents
+    // Same one-aggregate shape as simhash (r6, guide §2.3): 64 per-bit
+    // vote sums as aggregate columns of ONE per-doc pass (the old ×64
+    // bit-explode constant the round-5 VERDICT called the demo trade —
+    // now gone), band words assembled by projection, 4 band rows by a
+    // narrow explode. Bit-identical: integer sums are order-free and the
+    // affine re-hash per bit is the same arithmetic.
+    val tf = documents
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count("*").as("tf"))
       .withColumn("wh", charHash(col("w")))
-      .crossJoin(broadcast(bits))
-      .withColumn("vote", col("tf") *
-        (((col("wh") * (col("bit") * 2 + 1) +
-          (col("bit") * lit(1000003L) + 12345)) % HashP % 2) * 2 - 1))
-      .groupBy("doc_id", "bit")
-      .agg(sum("vote").as("v"))
-      .withColumn("band", (col("bit") / 16).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(sum(when(col("v") > 0, expr("CAST(pow(2, bit % 16) AS BIGINT)"))
-        .otherwise(0L)).as("bucket"))
+    val voteCols = (0 until 64).map { b =>
+      sum(col("tf") *
+        (((col("wh") * lit(2L * b + 1) + lit(1000003L * b + 12345L))
+          % HashP % 2) * 2 - 1)).as(s"v$b")
+    }
+    val bandStructs = array((0 until 4).map { band =>
+      struct(lit(band).as("band"),
+        (0 until 16).map(j =>
+          when(col(s"v${band * 16 + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("bucket"))
+    }: _*)
+    tf.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.bucket").as("bucket"))
   }
 
   /** SimHash near-dup pairs over the 64-BIT banded fingerprint: 4 bands of
@@ -377,7 +435,11 @@ object Dedup {
     * (empty text) collide with nothing and are kept.
     */
   def firstWinsKeep(documents: DataFrame): DataFrame =
-    documents.join(firstWinsDropIds(minhashBands(documents)),
+    // bands feed both the bucket-min aggregate and the join probe side of
+    // firstWinsDropIds: materialize once (StreamingDedup's batch path
+    // already checkpoints its bands for the same reason)
+    documents.join(
+      firstWinsDropIds(minhashBands(documents).localCheckpoint()),
       Seq("doc_id"), "left_anti")
 
   /** The first-wins drop rule over an already-computed bands frame

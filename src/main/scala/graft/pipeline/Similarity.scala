@@ -132,42 +132,121 @@ object Similarity {
   private def qdotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
 
+  /** Centroid frame (cid, cent ARRAY<BIGINT>) collected to the driver in
+    * ascending-cid order — nlist is clamped ≤ 65536, so this is ≤ ~34 MB
+    * at 64 dims (the same bound the old broadcast-crossJoin shipped to
+    * every task).
+    */
+  private def collectCents(cents: DataFrame): Array[(Long, Array[Long])] =
+    cents.select(col("cid").cast("long"), col("cent")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+
+  /** argmax centroid dot product over an ascending-cid centroid array;
+    * strict `>` keeps the FIRST (= smallest cid) on ties — the same rule
+    * as the old max(struct(qdot, -cid)) aggregate. Plain integer loops:
+    * the Catalyst form evaluated an interpreted zip_with+aggregate lambda
+    * per (vector, centroid) pair (r6, guide §1.2 step 2 / §4: the
+    * expression tree exceeded codegen and dominated ivf_train).
+    */
+  private def bestCell(q: Array[Long],
+                       cents: Array[(Long, Array[Long])]): Long = {
+    var bestDot = Long.MinValue
+    var best = -1L
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)._2
+      var d = 0L
+      var j = 0
+      while (j < q.length) { d += q(j) * c(j); j += 1 }
+      if (d > bestDot) { bestDot = d; best = cents(i)._1 }
+      i += 1
+    }
+    best
+  }
+
   /** Cell assignment against a given QUANTIZED centroid frame
     * (cid, cent ARRAY<BIGINT>): cell = argmax centroid dot product, ties
-    * to the smaller centroid id, via a map-side-combinable max(struct) —
-    * one scan × broadcast(nlist), no window shuffle.
+    * to the smaller centroid id — one scan × broadcast(nlist), no
+    * shuffle at all (r6: the old shape paid a full-corpus crossJoin ×
+    * nlist through an interpreted dot-product expression plus a
+    * max(struct) aggregation exchange; the typed map is bit-identical —
+    * same BIGINT dots, same tie rule — and emits one row per vector with
+    * no exchange).
     */
-  private def assignCells(quant: DataFrame, cents: DataFrame): DataFrame =
-    quant.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        qdotQ(col("qe"), col("cent")).as("qdot"))
-      .groupBy("vec_id")
-      .agg(max(struct(col("qdot").as("q"), (-col("cid")).as("nc"))).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).cast("long").as("cell"))
+  private def assignCells(quant: DataFrame, cents: DataFrame): DataFrame = {
+    val spark = quant.sparkSession
+    import spark.implicits._
+    val cs = collectCents(cents)
+    if (cs.isEmpty)
+      return quant.select(col("vec_id").cast("long"), lit(0L).as("cell"))
+        .limit(0)
+    val bc = spark.sparkContext.broadcast(cs)
+    quant.select(col("vec_id").cast("long"), col("qe"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.map { case (id, q) => (id, bestCell(q, c)) }
+      }
+      .toDF("vec_id", "cell")
+  }
 
   /** One Lloyd update over quantized vectors: the new centroid is the
     * per-dimension INTEGER floor mean of the cell's members — sum and
-    * count are order-free BIGINTs, and the mean is taken with EXACT
-    * integer floor division `(s - pmod(s, c)) / c` (pmod handles negative
-    * sums' floor-vs-truncate), so every iteration is bit-identical on any
-    * engine and any aggregation order at ANY magnitude — a double-precision
+    * count are order-free BIGINTs, and the mean is exact integer floor
+    * division (Math.floorDiv ≡ the SQL spec `(s - pmod(s, c)) DIV c` for
+    * positive counts), so every iteration is bit-identical on any engine
+    * and any aggregation order at ANY magnitude — a double-precision
     * floor(s/c) could round differently across engines once |s| exceeds
     * 2^53 (round-3 ADVICE). Cells that lose all members keep their
     * previous centroid.
+    *
+    * r6 shape: assignment + per-cell partial sums happen in ONE typed
+    * mapPartitions pass (bounded by cells-present × dims per partition),
+    * combined by a nlist-bounded reduceGroups — the old shape ran the
+    * full assignCells crossJoin, a posexplode of every vector's
+    * dimensions through an exchange, and two more aggregation exchanges
+    * per iteration.
     */
   private def lloydUpdate(quant: DataFrame, cents: DataFrame): DataFrame = {
-    val updated = quant.join(assignCells(quant, cents), "vec_id")
-      .select(col("cell"), posexplode(col("qe")).as(Seq("d", "x")))
-      .groupBy("cell", "d")
-      .agg(sum("x").as("s"), count("*").as("c"))
-      .select(col("cell"), col("d"),
-        expr("(s - pmod(s, c)) DIV c").as("cx"))
-      .groupBy("cell")
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
-        s => s.getField("cx")).as("newCent"))
-      .select(col("cell").as("cid"), col("newCent"))
-    cents.join(updated, Seq("cid"), "left")
-      .select(col("cid"), coalesce(col("newCent"), col("cent")).as("cent"))
+    val spark = quant.sparkSession
+    import spark.implicits._
+    val cs = collectCents(cents)
+    val bc = spark.sparkContext.broadcast(cs)
+    val updated: Map[Long, Array[Long]] =
+      quant.select(col("vec_id").cast("long"), col("qe"))
+        .as[(Long, Array[Long])]
+        .mapPartitions { it =>
+          val c = bc.value
+          val acc = scala.collection.mutable.LongMap
+            .empty[(Array[Long], Long)]
+          it.foreach { case (_, q) =>
+            val cell = bestCell(q, c)
+            val e = acc.getOrNull(cell)
+            val (s, n) = if (e == null) (new Array[Long](q.length), 0L) else e
+            var j = 0
+            while (j < q.length) { s(j) += q(j); j += 1 }
+            acc.update(cell, (s, n + 1))
+          }
+          acc.iterator.map { case (cell, (s, n)) => (cell, s, n) }
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = new Array[Long](a._2.length)
+          var j = 0
+          while (j < s.length) { s(j) = a._2(j) + b._2(j); j += 1 }
+          (a._1, s, a._3 + b._3)
+        }
+        .map { case (cell, (_, s, n)) =>
+          val cent = new Array[Long](s.length)
+          var j = 0
+          while (j < s.length) { cent(j) = Math.floorDiv(s(j), n); j += 1 }
+          (cell, cent)
+        }
+        .collect().toMap
+    val merged = cs.map { case (cid, cent) =>
+      (cid, updated.getOrElse(cid, cent).toSeq)
+    }.toSeq
+    merged.toDF("cid", "cent")
   }
 
   /** Sentinel for nlist/nprobe: derive the value from the corpus size. */
@@ -240,28 +319,47 @@ object Similarity {
     * spec, shared by the query path and the bench candidate-fraction
     * metric so the reported scanned fraction can never describe a
     * different candidate set than the query scans.
+    *
+    * r6: probe choice is a DRIVER-side O(nlist) decision over exact
+    * integers (nlist ≤ 65536 by clamp) — the same shape lshCandidates
+    * already uses — instead of a crossJoin+TakeOrdered Spark job whose
+    * only input is the nlist-row centroid frame. The probed cells then
+    * reach the cell scan as a pushed-down IN filter. Empty when the
+    * query id is absent (the old empty-crossJoin behavior).
     */
-  private def ivfProbes(embeddings: DataFrame, cents: DataFrame,
-                        queryId: Long, nprobe: Int): DataFrame = {
-    val q = embeddings.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_embedding"))
-    cents.crossJoin(broadcast(q))
-      .select(col("cid"), qdotQ(col("cent"), qarr(col("q_embedding"))).as("qdot"))
-      .orderBy(col("qdot").desc, col("cid").asc)
-      .limit(nprobe)
-      .select(col("cid").as("cell"))
+  private def ivfProbes(embeddings: DataFrame,
+                        cents: Array[(Long, Array[Long])],
+                        queryId: Long, nprobe: Int): Seq[Long] = {
+    val qRows = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>")).take(1)
+    if (qRows.isEmpty || cents.isEmpty) return Seq.empty
+    val e = qRows(0).getSeq[Double](0)
+    val qe = new Array[Long](e.length)
+    var i = 0
+    while (i < e.length) { qe(i) = math.floor(e(i) * 10000).toLong; i += 1 }
+    cents.map { case (cid, c) =>
+      var d = 0L
+      var j = 0
+      while (j < qe.length) { d += qe(j) * c(j); j += 1 }
+      (d, cid)
+    }.sortBy { case (d, cid) => (-d, cid) }.take(nprobe).map(_._2).toSeq
   }
 
   /** Probe-and-scan tail shared by the inline-training and the persisted
-    * IVF query paths: brute-force cosine only within the probed cells.
+    * IVF query paths: brute-force cosine only within the probed cells
+    * (a pushed-down `cell IN (…)` filter — nprobe values).
     */
-  private def ivfProbeScan(embeddings: DataFrame, cents: DataFrame,
+  private def ivfProbeScan(embeddings: DataFrame,
+                           cents: Array[(Long, Array[Long])],
                            cells: DataFrame, queryId: Long, k: Int,
                            nprobe: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
-    embeddings.join(cells, "vec_id")
-      .join(broadcast(ivfProbes(embeddings, cents, queryId, nprobe)), "cell")
+    val probes = ivfProbes(embeddings, cents, queryId, nprobe)
+    val probed =
+      if (probes.isEmpty) cells.filter(lit(false))
+      else cells.filter(col("cell").isin(probes: _*))
+    embeddings.join(probed.select("vec_id"), "vec_id")
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"),
@@ -290,7 +388,7 @@ object Similarity {
     val cents = ivfCentroids(embeddings, nl, lloydIters)
     val cells = assignCells(
       embeddings.select(col("vec_id"), qarr(col("embedding")).as("qe")), cents)
-    ivfProbeScan(embeddings, cents, cells, queryId, k, np)
+    ivfProbeScan(embeddings, collectCents(cents), cells, queryId, k, np)
   }
 
   /** Train-once IVF artifacts: centroids (cid, cent) + per-vector cell
@@ -342,9 +440,9 @@ object Similarity {
   def ivfTopKIndexed(embeddings: DataFrame, dir: String, queryId: Long,
                      k: Int, nprobe: Int = Auto): DataFrame = {
     val spark = embeddings.sparkSession
-    val cents = spark.read.parquet(s"$dir/centroids")
-    val np = if (nprobe == Auto) defaultNprobe(cents.count()) else nprobe
-    ivfProbeScan(embeddings, cents,
+    val cs = collectCents(spark.read.parquet(s"$dir/centroids"))
+    val np = if (nprobe == Auto) defaultNprobe(cs.length.toLong) else nprobe
+    ivfProbeScan(embeddings, cs,
       spark.read.parquet(s"$dir/cells"), queryId, k, np)
   }
 
@@ -412,11 +510,13 @@ object Similarity {
   def ivfCandidates(embeddings: DataFrame, dir: String, queryId: Long,
                     nprobe: Int = Auto): DataFrame = {
     val spark = embeddings.sparkSession
-    val cents = spark.read.parquet(s"$dir/centroids")
-    val np = if (nprobe == Auto) defaultNprobe(cents.count()) else nprobe
-    spark.read.parquet(s"$dir/cells")
-      .join(broadcast(ivfProbes(embeddings, cents, queryId, np)), "cell")
-      .filter(col("vec_id") =!= queryId)
-      .select("vec_id")
+    val cs = collectCents(spark.read.parquet(s"$dir/centroids"))
+    val np = if (nprobe == Auto) defaultNprobe(cs.length.toLong) else nprobe
+    val probes = ivfProbes(embeddings, cs, queryId, np)
+    val cells = spark.read.parquet(s"$dir/cells")
+    val probed =
+      if (probes.isEmpty) cells.filter(lit(false))
+      else cells.filter(col("cell").isin(probes: _*))
+    probed.filter(col("vec_id") =!= queryId).select("vec_id")
   }
 }

@@ -111,11 +111,16 @@ object CorpusSource {
     * (source→repo, synthetic doc path, content-sha commit).
     */
   def fromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    // contentSha is exported alongside commit (its prefix): the builder
+    // honors a precomputed sha, so the docs stage no longer re-hashes
+    // every content byte a second time (r6; codegen subexpression
+    // elimination computes the sha2 once for both columns)
     validated(spark.read.parquet(s"$sfDir/documents.parquet")
       .select(
         col("source").as("repo"),
         concat(lit("doc/"), col("doc_id")).as("path"),
         substring(sha2(col("text"), 256), 1, 40).as("commit"),
         col("lang"),
-        col("text").as("content")))
+        col("text").as("content"),
+        sha2(col("text"), 256).as("contentSha")))
 }

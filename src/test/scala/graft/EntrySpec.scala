@@ -530,6 +530,50 @@ class EntrySpec extends AnyFunSuite {
     assert(fast.nonEmpty && fast == spec)
   }
 
+  test("span family's duplicated-gram rule is a combinable aggregate + " +
+    "equijoin, not a window — a gram shared by EVERY doc cannot " +
+    "single-partition a window sort (r6, round-5 VERDICT wrong #1)") {
+    import spark.implicits._
+    // the degenerate shape: one boilerplate 13-gram present in every doc
+    // (license headers at corpus scale) — the old window partitioned all
+    // its occurrences into ONE sorted partition
+    val span = (1 to 13).map("b" + _).mkString(" ")
+    val docs = (1L to 500L).map(i => (i, s"$span tail$i extra$i"))
+      .toDF("doc_id", "text")
+    val stats = graft.pipeline.TextOps.spanDedupStats(docs)
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(3000))
+    val got = stats.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 15 words -> 3 grams; only gram@1 (the shared span) is duplicated
+    assert(got.size == 500 && got.values.forall(_ == ((3L, 1L))))
+    val rmPlan = graft.pipeline.TextOps.removeDuplicateSpans(docs)
+      .queryExecution.executedPlan.toString
+    assert(!rmPlan.contains("Window"), rmPlan.take(3000))
+  }
+
+  test("synth meta projection prunes content generation; the content " +
+    "column is byte-identical to genRow (r6: the bucket-count job paid a " +
+    "second full generation pass)") {
+    val df = graft.corpus.CorpusGen.synth(spark, 2, 5, seed = 9L)
+    // metadata-only consumers (the docId-rank count job's shape) must not
+    // evaluate the content generator
+    val meta = df.select("repo", "path", "commit")
+    assert(!meta.queryExecution.optimizedPlan.toString.contains("UDF"),
+      meta.queryExecution.optimizedPlan.toString.take(2000))
+    // content must be generated ONCE even though contentSha re-reads it
+    // (CollapseProject must not inline the non-cheap generator twice)
+    val fullPlan = df.queryExecution.optimizedPlan.toString
+    assert(fullPlan.split("UDF", -1).length - 1 == 1, fullPlan.take(2000))
+    val rows = df.select("path", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (0L until 10L).foreach { idx =>
+      val (_, path, _, _, content) =
+        graft.corpus.CorpusGen.genRow(9L, 2, 5, idx)
+      assert(rows(path) == content, s"content drift at idx $idx")
+    }
+  }
+
   test("minhashCandidates giant-bucket cap drops degenerate buckets only") {
     import spark.implicits._
     // 6 identical docs -> one clique bucket per band; 2 distinct docs

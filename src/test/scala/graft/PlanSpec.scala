@@ -146,8 +146,12 @@ class PlanSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val jPlan = planOf(graft.pipeline.Dedup.jaccardVerifiedPairs(docs, 0.5))
     assert(!jPlan.contains("CartesianProduct"), jPlan.take(3000))
-    // the candidate-doc prune is a LeftSemi join in the word-set branch
-    assert(jPlan.contains("LeftSemi"), jPlan.take(3000))
+    // the candidate-doc prune is a LeftSemi join in the word-set branch —
+    // asserted on the pre-materialization frame (r6: jaccardVerifiedPairs
+    // localCheckpoints it, so the final plan reads an ExistingRDD scan)
+    val wcPlan = planOf(graft.pipeline.Dedup.candidateWordSets(docs,
+      graft.pipeline.Dedup.minhashCandidates(docs)))
+    assert(wcPlan.contains("LeftSemi"), wcPlan.take(3000))
     val embs = (0 until 12).map(i =>
       (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 17) % 7 - 3).toFloat)))
       .toDF("vec_id", "embedding")
