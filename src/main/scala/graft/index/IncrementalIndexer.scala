@@ -606,9 +606,10 @@ class IncrementalIndexer(@transient val spark: SparkSession, root: String,
     }
     mergeStage("stats") {
       // stats: exact sums — deleted docs keep contributing until compact(),
-      // exactly as MultiSearcher aggregates the per-generation rows today
-      val parts = gens.map(g =>
-        spark.read.parquet(s"$g/stats").as[IndexStats].head())
+      // exactly as MultiSearcher aggregates the per-generation rows today.
+      // One multi-path read instead of one tiny job per generation (r6).
+      val parts = spark.read.parquet(gens.map(g => s"$g/stats"): _*)
+        .as[IndexStats].collect().toSeq
       val nn = parts.map(_.n).sum
       val t = parts.map(_.totalTokens).sum
       Seq(IndexStats(nn, t, if (nn == 0) 0.0 else t.toDouble / nn, bucketSize))

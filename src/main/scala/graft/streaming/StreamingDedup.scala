@@ -42,12 +42,24 @@ class StreamingDedup(spark: SparkSession, stateDir: String) {
     * lexicographic name order would misorder gen-10 vs gen-2.
     */
   private def gens(batchId: Long): Seq[String] = {
-    val d = new java.io.File(stateDir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
-        f.getName.drop(4).toLongOption.exists(_ < batchId) &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getAbsolutePath).toSeq.sorted
+    // Hadoop FileSystem listing, not java.io.File (round-5 ADVICE): on a
+    // DFS/object-store stateDir a java.io listing silently sees ZERO
+    // generations and the stream dedups nothing across batches — the
+    // FileSystem API resolves whatever scheme the path carries, so the
+    // local-parquet demonstration and a production root share one code
+    // path.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter { st =>
+        val name = st.getPath.getName
+        st.isDirectory && name.startsWith("gen-") &&
+          name.drop(4).toLongOption.exists(_ < batchId) &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+      }
+      .map(_.getPath.toString).sorted
   }
 
   private def readSeen(batchId: Long): DataFrame = {
