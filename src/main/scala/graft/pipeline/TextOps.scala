@@ -640,16 +640,17 @@ object TextOps {
 
   def spanDedupStats(documents: DataFrame, n: Int = 13,
                      textCol: String = "text"): DataFrame = {
+    // decontaminate's shape: left join against the (distinct, small)
+    // dup-key set — ≤1 match per gram row, so count(hit) is the dup
+    // occurrence count and ONE per-doc aggregate harvests both counters
     val grams = gramRows(documents, n, textCol)
-    val perDoc = grams.groupBy("doc_id").agg(count("*").as("n_grams"))
-    val dupOcc = grams
-      .join(dupGramKeys(grams), Seq("g1", "g2"), "left_semi")
-      .groupBy("doc_id").agg(count("*").as("n_dup0"))
-    perDoc.join(dupOcc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_dup0"), lit(0L)).as("n_dup"),
-        round(coalesce(col("n_dup0"), lit(0L)).cast("double")
-          / col("n_grams"), 4).as("dup_ratio"))
+    val dup = dupGramKeys(grams).withColumn("hit", lit(1))
+    grams.join(dup, Seq("g1", "g2"), "left")
+      .groupBy("doc_id")
+      .agg(count("*").as("n_grams"), count(col("hit")).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams"), 4)
+          .as("dup_ratio"))
   }
 
   /** The terminal exact-substring dedup TRANSFORM (the rewrite behind
